@@ -1,0 +1,129 @@
+"""Farthest point sampling (FPS) as an on-device iterative scan.
+
+Semantics match the reference GPU op `FarthestPointSample`
+(reconstruction/external/sampling/tf_sampling_g.cu:105+ — greedy max-min,
+first selected index is 0) and the numpy seeded variant `_fps_from_given_pc`
+(registration/src/sputils.py:11-23 — distances initialised from a given
+prefix of points, then greedy completion).
+
+The sequential dependency over the m output points is inherent to FPS; we
+express it as one `lax.scan` whose per-step work ([B, N] distance update +
+argmax) is batched wide across B and vectorised across N, keeping the
+distance buffer resident on-device (the reference keeps a 3072-point buffer
+in CUDA shared memory; here XLA keeps [B, N] in VMEM between fused steps).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_point(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """[B, N, C] points gathered by [B, M] int indices -> [B, M, C]."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def _sqdist_to(points: jax.Array, sel_xyz: jax.Array) -> jax.Array:
+    """Squared distance of every point to one selected point per batch.
+
+    points [B, N, C], sel_xyz [B, C] -> [B, N].
+    """
+    diff = points - sel_xyz[:, None, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def farthest_point_sample(
+    npoint: int, points: jax.Array, *, start_idx: jax.Array | int = 0
+) -> jax.Array:
+    """Greedy farthest point sampling.
+
+    Args:
+      npoint: number of points to select (static).
+      points: [B, N, C] input cloud.
+      start_idx: first selected index — scalar or [B] int array. The
+        reference op always starts at 0 (tf_sampling_g.cu); random-start FPS
+        (registration/src/fps.py:8-43 permutes first) is `start_idx=rand`.
+
+    Returns:
+      [B, npoint] int32 selected indices.
+    """
+    points = jnp.asarray(points)
+    b, n, _ = points.shape
+    if isinstance(start_idx, int):
+        start = jnp.full((b,), start_idx, dtype=jnp.int32)
+    else:
+        start = jnp.asarray(start_idx, dtype=jnp.int32)
+
+    def step(carry, _):
+        dist, sel = carry
+        sel_xyz = jnp.take_along_axis(points, sel[:, None, None], axis=1)[:, 0]
+        dist = jnp.minimum(dist, _sqdist_to(points, sel_xyz))
+        nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        return (dist, nxt), sel
+
+    init = (jnp.full((b, n), jnp.inf, dtype=jnp.float32), start)
+    _, idxs = jax.lax.scan(step, init, None, length=npoint)
+    return idxs.transpose(1, 0)  # [B, npoint]
+
+
+def fps_from_given(
+    npoint: int,
+    points: jax.Array,
+    given_idx: jax.Array,
+    given_count: jax.Array,
+) -> jax.Array:
+    """FPS completion from a given (possibly shorter) prefix of indices.
+
+    Equivalent to sputils._fps_from_given_pc: the first `given_count[b]`
+    outputs are `given_idx[b, :count]` verbatim; the remainder greedily adds
+    the farthest point from the running selected set. Static shapes: the
+    prefix buffer is [B, npoint] with only the first `given_count` entries
+    meaningful.
+
+    Args:
+      npoint: total outputs (static).
+      points: [B, N, C].
+      given_idx: [B, npoint] int32, prefix indices compacted to the front.
+      given_count: [B] int32, number of valid prefix entries (>=1).
+
+    Returns:
+      [B, npoint] int32 selected indices.
+    """
+    points = jnp.asarray(points)
+    b, n, _ = points.shape
+    given_idx = jnp.asarray(given_idx, dtype=jnp.int32)
+    given_count = jnp.asarray(given_count, dtype=jnp.int32)
+
+    def step(carry, t):
+        dist = carry
+        far = jnp.argmax(dist, axis=-1).astype(jnp.int32)
+        use_given = t < given_count
+        sel = jnp.where(use_given, given_idx[:, t], far)
+        sel_xyz = jnp.take_along_axis(points, sel[:, None, None], axis=1)[:, 0]
+        dist = jnp.minimum(dist, _sqdist_to(points, sel_xyz))
+        return dist, sel
+
+    init = jnp.full((b, n), jnp.inf, dtype=jnp.float32)
+    _, idxs = jax.lax.scan(step, init, jnp.arange(npoint, dtype=jnp.int32))
+    return idxs.transpose(1, 0)
+
+
+def prob_sample(key: jax.Array, weights: jax.Array, npoint: int) -> jax.Array:
+    """Weighted multinomial index sampling (`ProbSample`,
+    tf_sampling_g.cu:7-104 cumsum + binary search) — here jax.random.choice
+    semantics via the Gumbel-free inverse-CDF on a cumulative sum.
+
+    Args:
+      key: PRNG key.
+      weights: [B, N] non-negative sampling weights.
+      npoint: number of samples (with replacement).
+
+    Returns:
+      [B, npoint] int32 indices.
+    """
+    cdf = jnp.cumsum(weights, axis=-1)
+    total = cdf[:, -1:]
+    u = jax.random.uniform(key, (weights.shape[0], npoint)) * total
+    idx = jnp.sum(cdf[:, None, :] < u[:, :, None], axis=-1)
+    return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)

@@ -1,0 +1,85 @@
+"""Batched k-nearest-neighbour search and point grouping.
+
+Replaces three reference native-op groups with pure-XLA formulations:
+  * KNN_CUDA / `knn_point` (classification/grouping/tf_grouping.py:64-91):
+    here a chunked matmul-distance + `lax.top_k`, ascending order like the
+    reference's SelectionSort.
+  * `group_point` / `GroupPoint` gather and its scatter-add gradient
+    (classification/grouping/tf_grouping.cpp:41-63): `take_along_axis`, whose
+    autodiff transpose is a deterministic XLA scatter-add.
+  * `query_ball_point` radius grouping (tf_grouping.cpp:13-30): mask-based.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from samplenet_tpu.ops.pairwise import chunked_topk_neg, pairwise_sqdist
+
+
+def knn_point(
+    k: int, point_cloud: jax.Array, query_cloud: jax.Array, *, chunk: int = 512
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest neighbours of each query point in `point_cloud`.
+
+    Args:
+      k: neighbourhood size.
+      point_cloud: [B, N, 3] database cloud.
+      query_cloud: [B, M, 3] query cloud.
+
+    Returns:
+      (dist, idx): [B, M, k] ascending squared distances, [B, M, k] int32
+      indices into point_cloud.
+    """
+    return chunked_topk_neg(query_cloud, point_cloud, k, chunk=chunk)
+
+
+def group_point(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbour features.
+
+    Args:
+      points: [B, N, C] per-point features (or coordinates).
+      idx: [B, M, K] int32 indices into the N axis.
+
+    Returns:
+      [B, M, K, C] grouped features. Differentiable in `points` via a
+      deterministic scatter-add (vs the reference's atomicAdd CUDA grad,
+      classification/grouping/tf_grouping_g.cu:69-78).
+    """
+    b, m, kk = idx.shape
+    flat = idx.reshape(b, m * kk)
+    gathered = jnp.take_along_axis(
+        points, flat[..., None].astype(jnp.int32), axis=1
+    )
+    return gathered.reshape(b, m, kk, points.shape[-1])
+
+
+def query_ball_point(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Radius neighbourhood grouping (tf_grouping.cpp:13-30 semantics).
+
+    For each query point, the first `nsample` database points within `radius`
+    (by index order); queries with fewer in-ball points repeat the first found
+    point; queries with none fall back to index 0, count 0.
+
+    Returns:
+      (idx [B, M, nsample] int32, pts_cnt [B, M] int32).
+    """
+    d2 = pairwise_sqdist(new_xyz, xyz)                      # [B, M, N]
+    in_ball = d2 < (radius * radius)
+    n = xyz.shape[1]
+    order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+    # rank in-ball points first, preserving index order; out-of-ball get n+order
+    key = jnp.where(in_ball, order, order + n)
+    _, idx_sorted = jax.lax.top_k(-key, nsample)            # smallest keys
+    idx_sorted = idx_sorted.astype(jnp.int32)
+    pts_cnt = jnp.sum(in_ball, axis=-1).astype(jnp.int32)
+    cnt_clip = jnp.clip(pts_cnt, 0, nsample)
+    # positions beyond the count repeat the first in-ball index (or 0 if none)
+    first = idx_sorted[..., :1]
+    first = jnp.where(pts_cnt[..., None] > 0, first, 0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, idx_sorted.shape, 2)
+    idx = jnp.where(pos < cnt_clip[..., None], idx_sorted, first)
+    return idx, jnp.minimum(pts_cnt, nsample)

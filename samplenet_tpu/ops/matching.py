@@ -1,0 +1,169 @@
+"""Matching ops: approximate EMD (auction-style) and inference-time NN matching.
+
+`approx_match` / `match_cost` reimplement the reference native op pair
+`ApproxMatch`/`MatchCost` (CPU spec: classification/structural_losses/
+tf_approxmatch.cpp:23-105): a fixed 11-level temperature schedule
+(level = -4^j for j = 8..-1, then 0) with per-row (xyz1) and per-column (xyz2)
+remaining-capacity bookkeeping. Every level is dense [B, n, m] elementwise +
+reduction work — a perfect fit for one `lax.scan` over levels on the VPU,
+instead of the reference's nested CUDA block loops.
+
+`nn_matching` is the inference-time hard sampling path
+(registration/src/sputils.py:31-41): 1-NN match -> order-preserving unique ->
+FPS completion. The reference runs it per batch element in numpy on the host
+(registration/src/samplenet.py:123-141, the #1 hot loop); here it is fully
+on-device with static shapes via a first-occurrence mask + seeded FPS.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from samplenet_tpu.ops.fps import fps_from_given, gather_point
+from samplenet_tpu.ops.pairwise import chunked_min_argmin, pairwise_sqdist
+
+
+def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Approximate bipartite matching weights.
+
+    Args:
+      xyz1: [B, n, 3]
+      xyz2: [B, m, 3]
+
+    Returns:
+      match: [B, n, m] f32 soft assignment (row sums -> max(n,m)/n,
+      col sums -> max(n,m)/m as the schedule saturates). Non-differentiable
+      (the reference registers no gradient for ApproxMatch).
+    """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    factorl = float(max(n, m) // n)
+    factorr = float(max(n, m) // m)
+    d2 = pairwise_sqdist(xyz1, xyz2)  # [B, n, m]
+
+    levels = jnp.array(
+        [-(4.0 ** j) for j in range(8, -2, -1)] + [0.0], dtype=jnp.float32
+    )
+
+    def body(carry, level):
+        satl, satr = carry  # [B, n], [B, m]
+        weight = jnp.exp(level * d2) * satr[:, None, :]
+        row_sum = 1e-9 + jnp.sum(weight, axis=2, keepdims=True)
+        weight = weight / row_sum * satl[:, :, None]
+        col_sum = 1e-9 + jnp.sum(weight, axis=1)  # [B, m]
+        ratio = jnp.minimum(satr / col_sum, 1.0)
+        weight = weight * ratio[:, None, :]
+        satl = jnp.maximum(satl - jnp.sum(weight, axis=2), 0.0)
+        satr = jnp.maximum(satr - jnp.sum(weight, axis=1), 0.0)
+        return (satl, satr), weight
+
+    init = (
+        jnp.full((b, n), factorl, dtype=jnp.float32),
+        jnp.full((b, m), factorr, dtype=jnp.float32),
+    )
+    _, weights = jax.lax.scan(body, init, levels)
+    match = jnp.sum(weights, axis=0)
+    return jax.lax.stop_gradient(match)
+
+
+def match_cost(xyz1: jax.Array, xyz2: jax.Array, match: jax.Array) -> jax.Array:
+    """EMD transport cost: sum over pairs of match * euclidean distance.
+
+    Matches `MatchCost` (tf_approxmatch.cpp:85-105); the gradient w.r.t. both
+    clouds (match frozen) falls out of autodiff exactly as the hand-written
+    `MatchCostGrad` (match[k,l]·(x1−x2)/d with d clamped at 1e-20).
+
+    Returns: [B] per-cloud cost.
+    """
+    d2 = pairwise_sqdist(xyz1, xyz2)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-40))  # d >= 1e-20, safe sqrt grad
+    return jnp.sum(jax.lax.stop_gradient(match) * d, axis=(1, 2))
+
+
+def emd_loss(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Mean approximate-EMD loss (AE objective, pointnet_ae.py:125-133)."""
+    match = approx_match(xyz1, xyz2)
+    return jnp.mean(match_cost(xyz1, xyz2, match))
+
+
+def first_occurrence_mask(idx: jax.Array) -> jax.Array:
+    """occ[b, i] = True iff idx[b, i] does not appear at any j < i.
+
+    Static-shape replacement for np.unique(..., return_index) + order sort
+    (sputils._unique). O(m^2) compare — m <= 2048 keeps this trivial on VPU.
+    """
+    eq = idx[:, :, None] == idx[:, None, :]          # [B, m, m]
+    mm = idx.shape[1]
+    lower = (
+        jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
+    )
+    dup_before = jnp.any(eq & lower[None], axis=2)
+    return ~dup_before
+
+
+def _compact_indices(idx: jax.Array, occ: jax.Array, k: int) -> jax.Array:
+    """Move first-occurrence indices to the front (order preserved)."""
+
+    def one(idx_row, occ_row):
+        pos = jnp.cumsum(occ_row) - 1
+        pos = jnp.where(occ_row, pos, k)  # out-of-range -> dropped
+        return jnp.zeros((k,), jnp.int32).at[pos].set(
+            idx_row.astype(jnp.int32), mode="drop"
+        )
+
+    return jax.vmap(one)(idx, occ)
+
+
+def nn_match_indices(
+    full_pc: jax.Array, idx: jax.Array, k: int, *, complete_fps: bool = True
+) -> jax.Array:
+    """Index-space version of nn_matching: returns [B, k] int32 indices."""
+    idx = idx.astype(jnp.int32)
+    if not complete_fps:
+        return idx[:, :k]
+    occ = first_occurrence_mask(idx)
+    count = jnp.sum(occ, axis=1).astype(jnp.int32)
+    compact = _compact_indices(idx, occ, k)
+    return fps_from_given(k, full_pc, compact, jnp.minimum(count, k))
+
+
+def nn_matching(
+    full_pc: jax.Array, idx: jax.Array, k: int, *, complete_fps: bool = True
+) -> jax.Array:
+    """Hard matching: unique NN indices completed to k points by seeded FPS.
+
+    Args:
+      full_pc: [B, N, 3] original cloud.
+      idx: [B, m] int NN index of each simplified point in full_pc.
+      k: number of output points.
+
+    Returns:
+      [B, k, 3] matched points (sputils.nn_matching parity, on-device).
+    """
+    out_idx = nn_match_indices(full_pc, idx, k, complete_fps=complete_fps)
+    return gather_point(full_pc, out_idx)
+
+
+def nn_match_from_clouds(
+    full_pc: jax.Array, simplified: jax.Array, k: int, *, complete_fps: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """1-NN of each simplified point + matching, fused (samplenet.py:119-141).
+
+    Returns (matched [B, k, 3], indices [B, k]).
+    """
+    _, idx = chunked_min_argmin(simplified, full_pc)
+    out_idx = nn_match_indices(full_pc, idx, k, complete_fps=complete_fps)
+    return gather_point(full_pc, out_idx), out_idx
+
+
+def emd_matching(full_pc: jax.Array, simplified: jax.Array) -> jax.Array:
+    """EMD-based hard matching (classification/models/samplenet_model.py:152-168):
+    each simplified point takes the full-cloud point with max match weight.
+
+    Returns [B, m, 3] matched points.
+    """
+    match = approx_match(full_pc, simplified)        # [B, N, m]
+    best = jnp.argmax(match, axis=1).astype(jnp.int32)  # [B, m]
+    return gather_point(full_pc, best)

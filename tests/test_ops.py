@@ -1,0 +1,236 @@
+"""Unit tests for the ops library against numpy oracles of the reference specs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samplenet_tpu import ops
+from tests import oracles
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 128, 3).astype(np.float32)
+    y = rng.randn(4, 96, 3).astype(np.float32)
+    return x, y
+
+
+class TestNNDistance:
+    def test_matches_oracle(self, clouds):
+        x, y = clouds
+        d1, i1, d2, i2 = jax.jit(ops.nn_distance)(x, y)
+        ed1, ei1, ed2, ei2 = oracles.nn_distance_np(x, y)
+        np.testing.assert_allclose(d1, ed1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(d2, ed2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(i1, ei1)
+        np.testing.assert_array_equal(i2, ei2)
+
+    def test_chunked_path(self, clouds):
+        x, y = clouds
+        d1, i1, d2, i2 = ops.nn_distance(x, y, chunk=32)
+        ed1, ei1, ed2, ei2 = oracles.nn_distance_np(x, y)
+        np.testing.assert_allclose(d1, ed1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(i1, ei1)
+
+    def test_gradient(self, clouds):
+        """Gradient semantics of tf_nndistance grad: d/dx1 mean(dist1) pulls
+        each point toward its NN: 2*(x1 - nn(x1))/count."""
+        x, y = clouds
+
+        def loss(x, y):
+            d1, _, d2, _ = ops.nn_distance(x, y)
+            return jnp.sum(d1) + jnp.sum(d2)
+
+        gx, gy = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+        ed1, ei1, ed2, ei2 = oracles.nn_distance_np(x, y)
+        # expected grad wrt x: 2*(x - y[idx1]) from dist1 plus scatter from dist2
+        exp_gx = 2.0 * (x - np.take_along_axis(y, ei1[..., None], 1))
+        for b in range(x.shape[0]):
+            for j in range(y.shape[1]):
+                exp_gx[b, ei2[b, j]] += 2.0 * (x[b, ei2[b, j]] - y[b, j])
+        np.testing.assert_allclose(gx, exp_gx, rtol=1e-3, atol=1e-4)
+
+    def test_zero_distance_self(self, clouds):
+        x, _ = clouds
+        d1, _, d2, _ = ops.nn_distance(x, x)
+        np.testing.assert_allclose(d1, np.zeros_like(d1), atol=1e-5)
+
+
+class TestKNN:
+    def test_matches_oracle(self, clouds):
+        x, y = clouds
+        dist, idx = jax.jit(lambda a, b: ops.knn_point(5, a, b))(y, x)
+        edist, eidx = oracles.knn_np(5, y, x)
+        np.testing.assert_allclose(dist, edist, rtol=1e-4, atol=1e-5)
+        # indices can differ on ties; distances must agree
+        gathered = np.take_along_axis(
+            ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1),
+            np.asarray(idx), axis=-1)
+        np.testing.assert_allclose(gathered, edist, rtol=1e-4, atol=1e-5)
+
+    def test_ascending(self, clouds):
+        x, y = clouds
+        dist, _ = ops.knn_point(7, y, x)
+        d = np.asarray(dist)
+        assert (np.diff(d, axis=-1) >= -1e-5).all()
+
+    def test_group_point(self, clouds):
+        x, y = clouds
+        _, idx = ops.knn_point(4, y, x)
+        grouped = ops.group_point(y, idx)
+        assert grouped.shape == (4, 128, 4, 3)
+        exp = np.stack([yb[np.asarray(ib)] for yb, ib in zip(y, idx)])
+        np.testing.assert_allclose(grouped, exp, atol=1e-6)
+
+    def test_group_point_grad_is_scatter_add(self):
+        y = jnp.asarray(np.random.RandomState(1).randn(1, 6, 2).astype(np.float32))
+        idx = jnp.array([[[0, 0], [0, 1]]], dtype=jnp.int32)  # point 0 used 3x
+        g = jax.grad(lambda p: jnp.sum(ops.group_point(p, idx)))(y)
+        exp = np.zeros((1, 6, 2), np.float32)
+        exp[0, 0] = 3.0
+        exp[0, 1] = 1.0
+        np.testing.assert_allclose(g, exp)
+
+
+class TestQueryBall:
+    def test_counts_and_membership(self, clouds):
+        x, y = clouds
+        radius, nsample = 1.0, 8
+        idx, cnt = ops.query_ball_point(radius, nsample, y, x)
+        d2 = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+        exp_cnt = np.minimum((d2 < radius ** 2).sum(-1), nsample)
+        np.testing.assert_array_equal(cnt, exp_cnt)
+        # every reported index within count must be inside the ball
+        idx = np.asarray(idx)
+        for b in range(x.shape[0]):
+            for q in range(x.shape[1]):
+                c = int(exp_cnt[b, q])
+                for s in range(c):
+                    assert d2[b, q, idx[b, q, s]] < radius ** 2
+
+
+class TestFPS:
+    def test_matches_oracle(self):
+        rng = np.random.RandomState(2)
+        pts = rng.randn(3, 200, 3).astype(np.float32)
+        idx = np.asarray(jax.jit(
+            lambda p: ops.farthest_point_sample(16, p))(pts))
+        for b in range(3):
+            exp = oracles.fps_np(16, pts[b])
+            np.testing.assert_array_equal(idx[b], exp)
+
+    def test_gather_point(self):
+        pts = np.arange(24, dtype=np.float32).reshape(1, 8, 3)
+        idx = np.array([[1, 3, 1]], dtype=np.int32)
+        out = ops.gather_point(pts, idx)
+        np.testing.assert_array_equal(out, pts[0][[1, 3, 1]][None])
+
+    def test_fps_from_given(self):
+        rng = np.random.RandomState(3)
+        pts = rng.randn(2, 100, 3).astype(np.float32)
+        given = np.array([[4, 17, 3, 0], [9, 9, 9, 9]], dtype=np.int32)
+        count = np.array([3, 1], dtype=np.int32)
+        pad = np.zeros((2, 12 - 4), np.int32)
+        out_idx = np.asarray(ops.fps_from_given(
+            12, pts, np.concatenate([given, pad], 1), count))
+        for b in range(2):
+            given_pc = pts[b][given[b, : count[b]]]
+            exp = oracles.fps_from_given_pc_np(pts[b], 12, given_pc)
+            np.testing.assert_allclose(pts[b][out_idx[b]], exp, atol=1e-5)
+
+    def test_prob_sample_dist(self):
+        w = np.array([[0.0, 1.0, 0.0, 3.0]], np.float32)
+        idx = np.asarray(ops.prob_sample(jax.random.PRNGKey(0), w, 4000))
+        counts = np.bincount(idx[0], minlength=4) / 4000
+        assert counts[0] < 0.01 and counts[2] < 0.01
+        assert abs(counts[1] - 0.25) < 0.05 and abs(counts[3] - 0.75) < 0.05
+
+
+class TestMatching:
+    def test_first_occurrence_mask(self):
+        idx = jnp.array([[3, 1, 3, 2, 1, 0]])
+        occ = np.asarray(ops.first_occurrence_mask(idx))
+        np.testing.assert_array_equal(occ[0], [1, 1, 0, 1, 0, 1])
+
+    def test_nn_matching_matches_numpy(self):
+        rng = np.random.RandomState(4)
+        pc = rng.randn(3, 64, 3).astype(np.float32)
+        idx = rng.randint(0, 64, size=(3, 16)).astype(np.int32)
+        got = np.asarray(jax.jit(
+            lambda p, i: ops.nn_matching(p, i, 16))(pc, idx))
+        exp = oracles.nn_matching_np(pc, idx, 16)
+        np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    def test_nn_matching_no_fps(self):
+        rng = np.random.RandomState(5)
+        pc = rng.randn(2, 32, 3).astype(np.float32)
+        idx = rng.randint(0, 32, size=(2, 8)).astype(np.int32)
+        got = np.asarray(ops.nn_matching(pc, idx, 8, complete_fps=False))
+        exp = oracles.nn_matching_np(pc, idx, 8, complete_fps=False)
+        np.testing.assert_allclose(got, exp, atol=1e-6)
+
+    def test_nn_match_from_clouds_hard_projection_invariant(self):
+        """matched points are always actual input points
+        (invariant noted at samplenet_pointnet_ae.py:465)."""
+        rng = np.random.RandomState(6)
+        pc = rng.randn(2, 64, 3).astype(np.float32)
+        simp = rng.randn(2, 16, 3).astype(np.float32)
+        matched, midx = ops.nn_match_from_clouds(pc, simp, 16)
+        np.testing.assert_allclose(
+            matched, np.take_along_axis(pc, np.asarray(midx)[..., None], 1),
+            atol=1e-6)
+
+
+class TestApproxMatch:
+    def test_match_matches_oracle(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 24, 3).astype(np.float32)
+        y = rng.randn(2, 12, 3).astype(np.float32)
+        match = np.asarray(jax.jit(ops.approx_match)(x, y))
+        exp = oracles.approx_match_np(x, y)
+        np.testing.assert_allclose(match, exp, rtol=1e-3, atol=1e-3)
+
+    def test_capacity_saturation(self):
+        rng = np.random.RandomState(8)
+        x = rng.randn(2, 32, 3).astype(np.float32)
+        y = rng.randn(2, 16, 3).astype(np.float32)
+        match = np.asarray(ops.approx_match(x, y))
+        # row capacity factorl = 1, col capacity factorr = 2
+        np.testing.assert_allclose(match.sum(2), np.ones((2, 32)), atol=1e-2)
+        np.testing.assert_allclose(match.sum(1), 2 * np.ones((2, 16)), atol=1e-2)
+
+    def test_cost_matches_oracle(self):
+        rng = np.random.RandomState(9)
+        x = rng.randn(2, 16, 3).astype(np.float32)
+        y = rng.randn(2, 16, 3).astype(np.float32)
+        match = oracles.approx_match_np(x, y).astype(np.float32)
+        cost = np.asarray(ops.match_cost(x, y, jnp.asarray(match)))
+        exp = oracles.match_cost_np(x, y, match)
+        np.testing.assert_allclose(cost, exp, rtol=1e-4)
+
+    def test_cost_gradient(self):
+        """grad of cost wrt xyz1 = sum_l match*(x1-x2)/d (MatchCostGrad)."""
+        rng = np.random.RandomState(10)
+        x = rng.randn(1, 8, 3).astype(np.float32)
+        y = rng.randn(1, 8, 3).astype(np.float32)
+        match = oracles.approx_match_np(x, y).astype(np.float32)
+
+        g = jax.grad(lambda a: jnp.sum(ops.match_cost(a, y, match)))(jnp.asarray(x))
+        d = np.sqrt(((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1))
+        exp = (match[..., None] * (x[:, :, None, :] - y[:, None, :, :])
+               / np.maximum(d, 1e-20)[..., None]).sum(2)
+        np.testing.assert_allclose(g, exp, rtol=1e-3, atol=1e-4)
+
+    def test_identity_clouds_low_cost(self):
+        rng = np.random.RandomState(11)
+        x = rng.randn(1, 16, 3).astype(np.float32)
+        assert float(ops.emd_loss(x, x)) < 1e-2
+
+    def test_emd_matching_identity(self):
+        rng = np.random.RandomState(12)
+        pc = rng.randn(1, 32, 3).astype(np.float32)
+        simp = pc[:, [4, 9, 2, 30]]
+        out = np.asarray(ops.emd_matching(pc, jnp.asarray(simp)))
+        np.testing.assert_allclose(out, simp, atol=1e-5)

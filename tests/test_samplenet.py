@@ -1,0 +1,216 @@
+"""Sampler-core tests: soft projection golden fixtures + SampleNet contract.
+
+The golden fixture clouds/expectations reproduce the executable smoke test
+embedded in the reference (registration/src/soft_projection.py:158-284 and
+classification/soft_projection.py:86-161) as pytest cases.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samplenet_tpu.models import (
+    SampleNet,
+    SoftProjection,
+    FPSSampler,
+    RandomSampler,
+    simplification_loss,
+    sigma_from_temperature,
+)
+
+QUERY_CLOUD = np.array(
+    [[1, 0, 0], [0, 1, 0], [0, 0, 1],
+     [5, 4, 4], [4, 5, 4], [4, 4, 5],
+     [8, 7, 7], [7, 8, 7], [7, 7, 8]], dtype=np.float32)
+
+POINT_CLOUD = np.array(
+    [[0, 0, 0], [1, 0, 0], [2, 0, 0], [5, 5, 5], [7, 7, 8], [7, 7, 8.5]],
+    dtype=np.float32)
+
+POINT_FEATURES = np.arange(1, 31, dtype=np.float32).reshape(6, 5)
+
+# k=3, t=1.0 soft-propagated features of QUERY points from POINT_CLOUD feats
+EXPECTED_FEATURES_NN_3 = np.array(
+    [[6.0, 7.0, 8.0, 9.0, 10.0],
+     [2.459, 3.459, 4.459, 5.459, 6.459],
+     [2.459, 3.459, 4.459, 5.459, 6.459],
+     [16.0, 17.0, 18.0, 19.0, 20.0],
+     [16.0, 17.0, 18.0, 19.0, 20.0],
+     [16.0, 17.0, 18.0, 19.0, 20.0],
+     [22.113, 23.113, 24.113, 25.113, 26.113],
+     [22.113, 23.113, 24.113, 25.113, 26.113],
+     [23.189, 24.189, 25.189, 26.189, 27.189]], dtype=np.float32)
+
+# k=3, t=0.1 projection of POINT_CLOUD onto QUERY_CLOUD neighbourhoods
+EXPECTED_NN_CLOUD = np.array(
+    [[0.333, 0.333, 0.333],
+     [1, 0, 0],
+     [1, 0, 0],
+     [4.333, 4.333, 4.333],
+     [7, 7, 8],
+     [7, 7, 8]], dtype=np.float32)
+
+
+def _init_projection(k, t, **kw):
+    proj = SoftProjection(group_size=k, initial_temperature=t,
+                          min_sigma=1e-4, **kw)
+    variables = proj.init(
+        jax.random.PRNGKey(0), POINT_CLOUD[None], QUERY_CLOUD[None],
+        method=SoftProjection.project)
+    return proj, variables
+
+
+class TestSoftProjectionGolden:
+    def test_propagate_matches_reference_fixture(self):
+        proj, variables = _init_projection(3, 1.0)
+        out = proj.apply(
+            variables, POINT_CLOUD[None], POINT_FEATURES[None], QUERY_CLOUD[None],
+            method=SoftProjection.propagate)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], EXPECTED_FEATURES_NN_3, atol=2e-3)
+
+    def test_project_matches_reference_fixture(self):
+        # roles swapped + low temperature, as in the reference __main__
+        proj, variables = _init_projection(3, 0.1)
+        out, _, _ = proj.apply(
+            variables, QUERY_CLOUD[None], POINT_CLOUD[None],
+            method=SoftProjection.project)
+        np.testing.assert_allclose(np.asarray(out)[0], EXPECTED_NN_CLOUD, atol=2e-3)
+
+    def test_project_and_propagate_consistent(self):
+        proj, variables = _init_projection(3, 1.0)
+        pts, feats = proj.apply(
+            variables, POINT_CLOUD[None], POINT_FEATURES[None], QUERY_CLOUD[None],
+            method=SoftProjection.project_and_propagate)
+        only_feats = proj.apply(
+            variables, POINT_CLOUD[None], POINT_FEATURES[None], QUERY_CLOUD[None],
+            method=SoftProjection.propagate)
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(only_feats))
+
+    def test_hard_mode_snaps_to_nearest(self):
+        proj, variables = _init_projection(3, 1.0)
+        out, w, _ = proj.apply(
+            variables, QUERY_CLOUD[None], POINT_CLOUD[None],
+            method=SoftProjection.project, hard=True)
+        # hard weights are one-hot
+        np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-6)
+        assert (np.asarray(w).max(-1) == 1.0).all()
+        # each projected point is some query point (convex hull corner)
+        out = np.asarray(out)[0]
+        for p in out:
+            assert min(np.sum((QUERY_CLOUD - p) ** 2, 1)) < 1e-10
+
+
+class TestSigmaModes:
+    def test_torch_clamps_squared(self):
+        assert float(sigma_from_temperature(jnp.asarray(0.001), "torch", 1e-2)) == pytest.approx(1e-2)
+        assert float(sigma_from_temperature(jnp.asarray(2.0), "torch", 1e-2)) == pytest.approx(4.0)
+
+    def test_tf_no_clamp(self):
+        assert float(sigma_from_temperature(jnp.asarray(0.001), "tf", 1e-2)) == pytest.approx(1e-6)
+
+    def test_recon_clamps_then_squares(self):
+        assert float(sigma_from_temperature(jnp.asarray(0.001), "recon", 1e-2)) == pytest.approx(1e-4)
+
+
+class TestSampleNet:
+    @pytest.fixture(scope="class")
+    def net_and_vars(self):
+        net = SampleNet(num_out_points=16, bottleneck_size=64, group_size=4)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 128, 3), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x, training=False)
+        return net, variables, x
+
+    def test_train_forward_shapes(self, net_and_vars):
+        net, variables, x = net_and_vars
+        (simp, proj), updates = net.apply(
+            variables, x, training=True, mutable=["batch_stats"])
+        assert simp.shape == (2, 16, 3)
+        assert proj.shape == (2, 16, 3)
+        assert "batch_stats" in updates
+
+    def test_eval_returns_matched_input_points(self, net_and_vars):
+        net, variables, x = net_and_vars
+        simp, match = jax.jit(
+            lambda v, x: net.apply(v, x, training=False))(variables, x)
+        assert match.shape == (2, 16, 3)
+        xs = np.asarray(x)
+        for b in range(2):
+            for p in np.asarray(match)[b]:
+                assert min(np.sum((xs[b] - p) ** 2, 1)) < 1e-9
+
+    def test_eval_points_unique_with_complete_fps(self, net_and_vars):
+        net, variables, x = net_and_vars
+        _, match = net.apply(variables, x, training=False)
+        m = np.asarray(match)
+        for b in range(2):
+            assert len(np.unique(m[b], axis=0)) == 16
+
+    def test_bcn_layout(self):
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4,
+                        input_shape="bcn", output_shape="bcn")
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 3, 64), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x, training=False)
+        (simp, proj), _ = net.apply(variables, x, training=True,
+                                    mutable=["batch_stats"])
+        assert simp.shape == (2, 3, 8)
+        assert proj.shape == (2, 3, 8)
+
+    def test_skip_projection_returns_simplified(self):
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4,
+                        skip_projection=True)
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 64, 3), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x, training=False)
+        (simp, proj), _ = net.apply(variables, x, training=True,
+                                    mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(simp), np.asarray(proj))
+
+    def test_simplification_loss_value(self):
+        rng = np.random.RandomState(3)
+        ref = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        samp = jnp.asarray(rng.randn(2, 16, 3), jnp.float32)
+        loss = simplification_loss(ref, samp, 16, gamma=0.5, delta=1 / 30)
+        d_sr = np.min(((np.asarray(samp)[:, :, None] - np.asarray(ref)[:, None]) ** 2).sum(-1), 2)
+        d_rs = np.min(((np.asarray(ref)[:, :, None] - np.asarray(samp)[:, None]) ** 2).sum(-1), 2)
+        exp = d_sr.mean() + d_sr.max(1).mean() + (0.5 + 16 / 30) * d_rs.mean()
+        assert float(loss) == pytest.approx(exp, rel=1e-4)
+
+    def test_gradients_flow_to_all_params(self, net_and_vars):
+        net, variables, x = net_and_vars
+
+        def loss_fn(params):
+            (simp, proj), _ = net.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, training=True, mutable=["batch_stats"])
+            return jnp.sum(proj**2) + jnp.sum(simp**2)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.isfinite(g).all()) for g in flat)
+        # temperature gradient specifically must be nonzero
+        t_grad = grads["project"]["temperature"]
+        assert float(jnp.abs(t_grad)) > 0
+
+
+class TestBaselineSamplers:
+    def test_fps_sampler(self):
+        net = FPSSampler(num_out_points=8)
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 64, 3), jnp.float32)
+        variables = net.init({"params": jax.random.PRNGKey(0),
+                              "sampler": jax.random.PRNGKey(1)}, x)
+        y, _ = net.apply(variables, x, rngs={"sampler": jax.random.PRNGKey(2)})
+        assert y.shape == (2, 8, 3)
+        ys, xs = np.asarray(y), np.asarray(x)
+        for b in range(2):
+            assert len(np.unique(ys[b], axis=0)) == 8
+            for p in ys[b]:
+                assert min(np.sum((xs[b] - p) ** 2, 1)) < 1e-9
+
+    def test_random_sampler(self):
+        net = RandomSampler(num_out_points=8)
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 3), jnp.float32)
+        variables = net.init({"params": jax.random.PRNGKey(0),
+                              "sampler": jax.random.PRNGKey(1)}, x)
+        y, _ = net.apply(variables, x, rngs={"sampler": jax.random.PRNGKey(2)})
+        assert y.shape == (2, 8, 3)

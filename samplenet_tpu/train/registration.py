@@ -1,0 +1,220 @@
+"""Registration track: PCRNet training + SampleNet-vs-frozen-PCRNet.
+
+TPU re-architecture of registration/main.py's `Action` class (train_1/eval_1/
+test_1): the whole step — dual-cloud sampling, PCRNet forward, chamfer +
+transform-error losses, optimiser — is one jitted program. Evaluation
+reproduces the reference protocol: rotation error (PCN formula, degrees),
+AUC of the precision curve over 0-180 deg in 0.5-deg bins (main.py:461-479),
+and the dual-cloud sampling-consistency chamfer (main.py:540-555).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samplenet_tpu.geometry.transforms import QuaternionTransform, rad_to_deg
+from samplenet_tpu.models.pcrnet import PCRNet
+from samplenet_tpu.models.samplenet import SampleNet
+from samplenet_tpu.ops.chamfer import chamfer_distance
+from samplenet_tpu.train.state import TrainState, adam_with_schedule, staircase_lr
+
+
+@dataclass
+class RegistrationConfig:
+    num_points: int = 1024
+    num_out_points: int = 64
+    bottleneck_size: int = 128
+    group_size: int = 8
+    # sputils.get_parser defaults (registration/src/sputils.py:45-61)
+    alpha: float = 0.01
+    lmbda: float = 0.01
+    gamma: float = 1.0
+    delta: float = 0.0
+    loss_type: int = 0          # 0: norm_err + chamfer; 1: chamfer only
+    num_sampled_clouds: int = 2  # sample source and template
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    skip_projection: bool = False
+
+
+def pcrnet_losses(
+    pcrnet: PCRNet, pcr_vars: dict, p0, p1, igt_vec, loss_type: int
+) -> tuple[jax.Array, dict]:
+    """Chamfer alignment loss + transform-error metrics (main.py:557-598)."""
+    twist, pre_quat = pcrnet.apply(pcr_vars, p0, p1)
+    qnorm_loss = jnp.mean((jnp.sum(pre_quat**2, axis=1) - 1.0) ** 2)
+    est = QuaternionTransform(twist)
+    gt = QuaternionTransform(igt_vec)
+    p1_est = est.rotate(p0)
+    c01, c10 = chamfer_distance(p1, p1_est)
+    chamfer = jnp.mean(c01) + jnp.mean(c10)
+    rot_err, norm_err, trans_err = est.compute_errors(gt)
+    loss = norm_err + chamfer if loss_type == 0 else chamfer
+    info = {
+        "chamfer_loss": chamfer,
+        "qnorm_loss": qnorm_loss,
+        "rot_err_deg": rad_to_deg(rot_err),
+        "norm_err": norm_err,
+        "trans_err": trans_err,
+    }
+    return loss, info
+
+
+def sampling_consistency(p0s, p1s, igt_vec) -> jax.Array:
+    """Chamfer between template samples and inverse-rotated source samples."""
+    gt_inv = QuaternionTransform(igt_vec).inverse()
+    p0s_est = gt_inv.rotate(p1s)
+    c0, c1 = chamfer_distance(p0s, p0s_est)
+    return jnp.mean(c0) + jnp.mean(c1)
+
+
+def create_pcrnet_state(cfg: RegistrationConfig, rng) -> tuple[PCRNet, TrainState]:
+    model = PCRNet()
+    dummy = jnp.zeros((2, cfg.num_points, 3), jnp.float32)
+    variables = model.init(rng, dummy, dummy)
+    tx = adam_with_schedule(staircase_lr(cfg.learning_rate, cfg.batch_size))
+    state = TrainState.create(params=variables["params"], batch_stats={}, tx=tx)
+    return model, state
+
+
+def create_sampler_state(cfg: RegistrationConfig, rng) -> tuple[SampleNet, TrainState]:
+    sampler = SampleNet(
+        num_out_points=cfg.num_out_points,
+        bottleneck_size=cfg.bottleneck_size,
+        group_size=cfg.group_size,
+        min_sigma=1e-2,           # registration passes min_sigma=0.01
+        sigma_mode="torch",
+        skip_projection=cfg.skip_projection,
+    )
+    dummy = jnp.zeros((2, cfg.num_points, 3), jnp.float32)
+    variables = sampler.init(rng, dummy, training=False)
+    tx = adam_with_schedule(staircase_lr(cfg.learning_rate, cfg.batch_size))
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"], tx=tx
+    )
+    return sampler, state
+
+
+def make_pcrnet_train_step(model: PCRNet, cfg: RegistrationConfig):
+    """Phase 1: train PCRNet on full clouds (no sampler)."""
+
+    @jax.jit
+    def step(state: TrainState, p0, p1, igt_vec):
+        def loss_fn(params):
+            loss, info = pcrnet_losses(
+                model, {"params": params}, p0, p1, igt_vec, cfg.loss_type)
+            return loss, info
+
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), {"loss": loss, **info}
+
+    return step
+
+
+def make_sampler_train_step(
+    sampler: SampleNet, pcrnet: PCRNet, pcr_vars: dict, cfg: RegistrationConfig
+):
+    """Phase 2: train SampleNet against the frozen PCRNet
+    (main.py:306-362 with compute_samplenet_loss + compute_pcrnet_loss)."""
+
+    @jax.jit
+    def step(state: TrainState, p0, p1, igt_vec):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+
+            (p1_simp, p1_proj), upd = sampler.apply(
+                variables, p1, training=True, mutable=["batch_stats"])
+            s1 = sampler.apply(
+                variables, p1, p1_simp, cfg.num_out_points, cfg.gamma,
+                cfg.delta, method=SampleNet.get_simplification_loss)
+
+            if cfg.num_sampled_clouds == 2:
+                (p0_simp, p0_proj), upd = sampler.apply(
+                    {"params": params, "batch_stats": upd["batch_stats"]},
+                    p0, training=True, mutable=["batch_stats"])
+                s0 = sampler.apply(
+                    variables, p0, p0_simp, cfg.num_out_points, cfg.gamma,
+                    cfg.delta, method=SampleNet.get_simplification_loss)
+                simplification = 0.5 * (s1 + s0)
+                sampled = (p0_proj, p1_proj)
+            else:
+                simplification = s1
+                sampled = (p0, p1_proj)
+
+            projection = sampler.apply(
+                variables, method=SampleNet.get_projection_loss)
+            samplenet_loss = cfg.alpha * simplification + cfg.lmbda * projection
+
+            task_loss, info = pcrnet_losses(
+                pcrnet, pcr_vars, sampled[0], sampled[1], igt_vec, cfg.loss_type)
+            loss = task_loss + samplenet_loss
+            info = {**info, "simplification_loss": simplification,
+                    "projection_loss": projection}
+            return loss, (info, upd["batch_stats"])
+
+        (loss, (info, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return (state.apply_gradients(grads, new_batch_stats=new_bs),
+                {"loss": loss, **info})
+
+    return step
+
+
+def make_eval_step(
+    sampler: SampleNet | None, pcrnet: PCRNet, pcr_vars: dict,
+    cfg: RegistrationConfig,
+):
+    """Test protocol: hard-sample both clouds (eval mode), register, report
+    rotation error + consistency."""
+
+    @jax.jit
+    def step(sampler_vars, p0, p1, igt_vec):
+        if sampler is not None:
+            _, p1s = sampler.apply(sampler_vars, p1, training=False)
+            if cfg.num_sampled_clouds == 2:
+                _, p0s = sampler.apply(sampler_vars, p0, training=False)
+            else:
+                p0s = p0
+        else:
+            p0s, p1s = p0, p1
+        _, info = pcrnet_losses(
+            pcrnet, pcr_vars, p0s, p1s, igt_vec, cfg.loss_type)
+        consistency = sampling_consistency(p0s, p1s, igt_vec)
+        return info["rot_err_deg"], info["trans_err"], consistency
+
+    return step
+
+
+def precision_auc(rotation_errors_deg: np.ndarray) -> tuple[np.ndarray, float]:
+    """Precision curve over 0..180 deg (0.5 steps) + its AUC (main.py:461-479)."""
+    thresholds = np.arange(0.0, 180.0, 0.5)
+    n = len(rotation_errors_deg)
+    precision = np.array([
+        np.sum(rotation_errors_deg <= t) / max(n, 1) for t in thresholds
+    ])
+    return precision, float(np.sum(precision) / len(thresholds))
+
+
+def evaluate(
+    eval_step, sampler_vars, dataset, batch_size: int
+) -> dict[str, float]:
+    rot_errs, trans_errs, consistencies = [], [], []
+    for p0, p1, twists in dataset.batches(batch_size, shuffle=False):
+        r, t, c = eval_step(
+            sampler_vars, jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(twists))
+        rot_errs.append(float(r))
+        trans_errs.append(float(t))
+        consistencies.append(float(c))
+    rot = np.asarray(rot_errs)
+    _, auc = precision_auc(rot)
+    return {
+        "rot_err_mean": float(rot.mean()) if len(rot) else float("nan"),
+        "rot_err_std": float(rot.std()) if len(rot) else float("nan"),
+        "auc": auc,
+        "consistency_mean": float(np.mean(consistencies)),
+        "consistency_std": float(np.std(consistencies)),
+    }

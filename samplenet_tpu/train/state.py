@@ -1,0 +1,72 @@
+"""Train state and optimizer assembly.
+
+One unified trainer replaces the reference's three per-track training stacks
+(SURVEY.md layer 5). Key behaviours reproduced:
+  * exponential staircase LR decay with a floor
+    (classification/train_samplenet.py:113-122: decay per sample count,
+    clipped at 1e-5)
+  * sampler-only optimisation against a frozen task network — the reference
+    does var_list filtering (train_samplenet.py:195-199); here the frozen
+    subtree simply lives outside the optimised params, which also guarantees
+    zero compute is wasted on frozen grads.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, params, batch_stats, tx):
+        return cls(
+            step=jax.numpy.zeros((), jax.numpy.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+            opt_state=new_opt_state,
+        )
+
+
+def staircase_lr(
+    base_lr: float,
+    batch_size: int,
+    decay_step_samples: float = 200000.0,
+    decay_rate: float = 0.7,
+    floor: float = 1e-5,
+) -> optax.Schedule:
+    """Exponential staircase decay counted in samples, clipped below."""
+    steps_per_decay = max(int(decay_step_samples / batch_size), 1)
+    sched = optax.exponential_decay(
+        init_value=base_lr,
+        transition_steps=steps_per_decay,
+        decay_rate=decay_rate,
+        staircase=True,
+    )
+    return lambda count: jax.numpy.maximum(sched(count), floor)
+
+
+def adam_with_schedule(schedule: optax.Schedule) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=schedule)

@@ -1,0 +1,146 @@
+"""CLI: registration track — phase 1 trains PCRNet, phase 2 trains SampleNet
+against the frozen PCRNet (registration/main.py pipeline).
+
+    python -m samplenet_tpu.train.train_registration --phase pcrnet
+    python -m samplenet_tpu.train.train_registration --phase samplenet \
+        --pcrnet-ckpt log/pcrnet/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samplenet_tpu.data.procedural import make_dataset
+from samplenet_tpu.data.qdataset import QuaternionFixedDataset
+from samplenet_tpu.train import checkpoints
+from samplenet_tpu.train.registration import (
+    RegistrationConfig,
+    create_pcrnet_state,
+    create_sampler_state,
+    evaluate,
+    make_eval_step,
+    make_pcrnet_train_step,
+    make_sampler_train_step,
+)
+from samplenet_tpu.utils import Logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("train_registration")
+    p.add_argument("--phase", choices=["pcrnet", "samplenet"], default="pcrnet")
+    p.add_argument("--num-points", type=int, default=1024)
+    p.add_argument("--num-out-points", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--train-size", type=int, default=256)
+    p.add_argument("--test-size", type=int, default=64)
+    p.add_argument("--repeat", type=int, default=2)
+    p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--lmbda", type=float, default=0.01)
+    p.add_argument("--group-size", type=int, default=8)
+    p.add_argument("--num-sampled-clouds", type=int, default=2, choices=[1, 2])
+    p.add_argument("--apply-noise", action="store_true")
+    p.add_argument("--pcrnet-ckpt", default="log/pcrnet/ckpt")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_datasets(args):
+    """Procedural clouds under fixed random rotations (the car-subset h5 of
+    the reference, registration/data/create_dataset_torch.py, is download-
+    gated; any [M, N, 3] array feeds QuaternionFixedDataset)."""
+    base_train, _ = make_dataset(args.train_size, args.num_points, seed=args.seed)
+    base_test, _ = make_dataset(args.test_size, args.num_points, seed=args.seed + 1)
+    train = QuaternionFixedDataset(base_train, repeat=args.repeat, seed=0,
+                                   apply_noise=args.apply_noise)
+    test = QuaternionFixedDataset(base_test, repeat=1, seed=1,
+                                  apply_noise=args.apply_noise,
+                                  fixed_noise=args.apply_noise)
+    return train, test
+
+
+def main(argv=None):
+    from samplenet_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+    args = parse_args(argv)
+    log_dir = args.log_dir or f"log/registration_{args.phase}"
+    logger = Logger(log_dir, args.phase)
+    train, test = build_datasets(args)
+
+    cfg = RegistrationConfig(
+        num_points=args.num_points,
+        num_out_points=args.num_out_points,
+        group_size=args.group_size,
+        alpha=args.alpha, lmbda=args.lmbda,
+        num_sampled_clouds=args.num_sampled_clouds,
+        batch_size=args.batch_size,
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    np_rng = np.random.RandomState(0)
+
+    if args.phase == "pcrnet":
+        model, state = create_pcrnet_state(cfg, rng)
+        step = make_pcrnet_train_step(model, cfg)
+        eval_step = make_eval_step(None, model, None, cfg)  # vars injected below
+        for epoch in range(args.epochs):
+            agg = []
+            for bi, (p0, p1, tw) in enumerate(train.batches(
+                    args.batch_size, rng=np_rng)):
+                if args.steps_per_epoch and bi >= args.steps_per_epoch:
+                    break
+                state, info = step(state, jnp.asarray(p0), jnp.asarray(p1),
+                                   jnp.asarray(tw))
+                agg.append({k: float(v) for k, v in info.items()})
+            mean = {k: float(np.mean([a[k] for a in agg])) for k in agg[0]}
+            logger.log(f"epoch {epoch}: " +
+                       " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
+            logger.metrics(int(state.step), **mean)
+        pcr_vars = {"params": jax.device_get(state.params)}
+        eval_step = make_eval_step(None, model, pcr_vars, cfg)
+        report = evaluate(eval_step, None, test, args.batch_size)
+        logger.log(f"test: {report}")
+        checkpoints.save(f"{log_dir}/ckpt", {"params": pcr_vars["params"]})
+        logger.log(f"saved checkpoint to {log_dir}/ckpt")
+        return state
+
+    # phase == samplenet
+    pcr_params = checkpoints.restore(args.pcrnet_ckpt)["params"]
+    pcrnet_model, _ = create_pcrnet_state(cfg, jax.random.PRNGKey(99))
+    pcr_vars = {"params": pcr_params}
+    sampler, state = create_sampler_state(cfg, rng)
+    step = make_sampler_train_step(sampler, pcrnet_model, pcr_vars, cfg)
+    eval_step = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg)
+    for epoch in range(args.epochs):
+        agg = []
+        for bi, (p0, p1, tw) in enumerate(train.batches(
+                args.batch_size, rng=np_rng)):
+            if args.steps_per_epoch and bi >= args.steps_per_epoch:
+                break
+            state, info = step(state, jnp.asarray(p0), jnp.asarray(p1),
+                               jnp.asarray(tw))
+            agg.append({k: float(v) for k, v in info.items()})
+        mean = {k: float(np.mean([a[k] for a in agg])) for k in agg[0]}
+        logger.log(f"epoch {epoch}: " +
+                   " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
+        logger.metrics(int(state.step), **mean)
+        sampler_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        report = evaluate(eval_step, sampler_vars, test, args.batch_size)
+        logger.log(f"  eval: rot_err={report['rot_err_mean']:.2f}deg "
+                   f"auc={report['auc']:.4f} "
+                   f"consistency={report['consistency_mean']:.5f}")
+    checkpoints.save(f"{log_dir}/ckpt", {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    })
+    logger.log(f"saved checkpoint to {log_dir}/ckpt")
+    return state
+
+
+if __name__ == "__main__":
+    main()

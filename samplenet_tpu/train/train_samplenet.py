@@ -1,0 +1,102 @@
+"""CLI: train SampleNet against a frozen classifier
+(classification/train_samplenet.py pipeline).
+
+    python -m samplenet_tpu.train.train_samplenet \
+        --classifier-ckpt log/classifier/ckpt --num-out-points 32
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+from samplenet_tpu.train import checkpoints
+from samplenet_tpu.train.classification import (
+    SampleNetConfig,
+    create_samplenet_state,
+    make_samplenet_eval_step,
+    per_class_accuracy,
+    train_samplenet_loop,
+)
+from samplenet_tpu.train.train_classifier import load_data, parse_args as _cls_args
+from samplenet_tpu.utils import Logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("train_samplenet")
+    p.add_argument("--dataset", default="procedural",
+                   choices=["procedural", "modelnet40"])
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--num-points", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--num-out-points", type=int, default=32)
+    p.add_argument("--bottleneck-size", type=int, default=128)
+    p.add_argument("--group-size", type=int, default=7)
+    p.add_argument("--alpha", type=float, default=30.0)
+    p.add_argument("--lmbda", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--delta", type=float, default=0.0)
+    p.add_argument("--learning-rate", type=float, default=0.01)
+    p.add_argument("--skip-projection", action="store_true")
+    p.add_argument("--classifier-ckpt", default="log/classifier/ckpt")
+    p.add_argument("--train-size", type=int, default=2000)
+    p.add_argument("--test-size", type=int, default=400)
+    p.add_argument("--log-dir", default="log/samplenet")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from samplenet_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+    args = parse_args(argv)
+    logger = Logger(args.log_dir, "samplenet")
+    train, test, num_classes = load_data(args)
+
+    ckpt = checkpoints.restore(args.classifier_ckpt)
+    classifier = PointNetClassifier(
+        num_classes=int(ckpt["config"]["num_classes"]),
+        use_tnets=bool(ckpt["config"]["use_tnets"]),
+    )
+    classifier_vars = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+
+    scfg = SampleNetConfig(
+        num_out_points=args.num_out_points,
+        bottleneck_size=args.bottleneck_size,
+        group_size=args.group_size,
+        alpha=args.alpha, lmbda=args.lmbda,
+        gamma=args.gamma, delta=args.delta,
+        learning_rate=args.learning_rate,
+        skip_projection=args.skip_projection,
+        batch_size=args.batch_size,
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    sampler, state = create_samplenet_state(scfg, args.num_points, rng)
+    logger.log(f"training SampleNet {args.num_points}->{args.num_out_points} "
+               f"against frozen classifier, device={jax.devices()[0]}")
+    state = train_samplenet_loop(
+        sampler, state, scfg, classifier, classifier_vars, train, test,
+        epochs=args.epochs, logger=logger, rng=rng,
+        steps_per_epoch=args.steps_per_epoch,
+    )
+    eval_step = make_samplenet_eval_step(sampler, classifier, classifier_vars)
+    table = per_class_accuracy(eval_step, state, test,
+                               scfg.batch_size, num_classes)
+    for ci, acc in enumerate(table):
+        logger.log(f"  class {ci}: acc={acc:.4f}")
+    ckpt_path = f"{args.log_dir}/ckpt"
+    checkpoints.save(ckpt_path, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "config": vars(args),
+    })
+    logger.log(f"saved checkpoint to {ckpt_path}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,13 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Multi-chip sharding tests run against `xla_force_host_platform_device_count`
-CPU devices; numerics tests use the same platform for speed and determinism.
+The image's sitecustomize imports jax at interpreter startup with the axon
+(TPU) platform pinned, so the JAX_PLATFORMS env var is already consumed by
+the time pytest code runs. `jax.config.update` still works as long as no
+backend has been initialised — do it first thing here.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, (
+    "tests expect 8 virtual CPU devices, got: " + str(jax.devices())
+)

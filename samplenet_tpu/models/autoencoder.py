@@ -1,0 +1,78 @@
+"""Point-cloud autoencoder (reconstruction track task network).
+
+Parity with reconstruction/src/ae_templates.py:11-43 ("ala ICLR-18"):
+encoder = per-point MLP [64,128,128,256,bottleneck] (BN+ReLU) + max-pool
+symmetry; decoder = FC [256,256,N*3] without BN; chamfer or approximate-EMD
+reconstruction loss (pointnet_ae.py:116-133). Optional FPS front-end
+(pointnet_ae.py:46-56) and FPS-sorted output (:69-76) are provided as
+methods so the trainer composes them on device.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from samplenet_tpu.nn.layers import PointMLP
+from samplenet_tpu.ops.chamfer import nn_distance
+from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
+from samplenet_tpu.ops.matching import approx_match, match_cost
+
+
+class PointNetAE(nn.Module):
+    num_output_points: int
+    bottleneck_size: int = 128
+    encoder_widths: tuple = (64, 128, 128, 256)
+    decoder_widths: tuple = (256, 256)
+    use_bn: bool = True
+
+    def setup(self):
+        self.encoder_mlp = PointMLP(
+            features=(*self.encoder_widths, self.bottleneck_size),
+            use_bn=self.use_bn,
+            name="encoder",
+        )
+        self.decoder_layers = [
+            nn.Dense(w, name=f"dec_{i}") for i, w in enumerate(self.decoder_widths)
+        ]
+        self.out_layer = nn.Dense(3 * self.num_output_points, name="dec_out")
+
+    def encode(self, x: jax.Array, training: bool = False) -> jax.Array:
+        """[B, N, 3] -> [B, bottleneck] global latent."""
+        feats = self.encoder_mlp(x, training=training)
+        return jnp.max(feats, axis=1)
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        """[B, bottleneck] -> [B, num_output_points, 3]."""
+        for layer in self.decoder_layers:
+            z = nn.relu(layer(z))
+        out = self.out_layer(z)
+        return out.reshape(-1, self.num_output_points, 3)
+
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        return self.decode(self.encode(x, training=training))
+
+    @staticmethod
+    def sort_output(x_reconstr: jax.Array) -> jax.Array:
+        """FPS-ordered reconstruction (pointnet_ae.py:69-76)."""
+        idx = farthest_point_sample(x_reconstr.shape[1], x_reconstr)
+        return gather_point(x_reconstr, idx)
+
+
+def ae_chamfer_loss(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
+    """mean CD both directions (pointnet_ae.py:118-124)."""
+    c12, _, c21, _ = nn_distance(x_reconstr, gt)
+    return jnp.mean(c12) + jnp.mean(c21)
+
+
+def ae_emd_loss(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
+    """mean approx-EMD (pointnet_ae.py:125-133)."""
+    match = approx_match(x_reconstr, gt)
+    return jnp.mean(match_cost(x_reconstr, gt, match))
+
+
+def ae_per_cloud_chamfer(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
+    """[B] per-cloud chamfer (autoencoder.py nn_distance, used for NRE)."""
+    c12, _, c21, _ = nn_distance(x_reconstr, gt)
+    return jnp.mean(c12, axis=1) + jnp.mean(c21, axis=1)

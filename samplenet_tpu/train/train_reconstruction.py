@@ -1,0 +1,144 @@
+"""CLI: reconstruction track — phase 1 trains the AE, phase 2 trains the
+SampleNet sampler against the frozen AE and reports NRE
+(reconstruction/autoencoder/train_ae.py + sampler/train_samplenet.py).
+
+    python -m samplenet_tpu.train.train_reconstruction --phase ae
+    python -m samplenet_tpu.train.train_reconstruction --phase samplenet \
+        --ae-ckpt log/ae/ckpt --num-out-points 64
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samplenet_tpu.data import iterate_batches, make_dataset
+from samplenet_tpu.train import checkpoints
+from samplenet_tpu.train.reconstruction import (
+    AEConfig,
+    SampleNetAEConfig,
+    create_ae_state,
+    create_sampler_ae_state,
+    evaluate_nre,
+    make_ae_eval_step,
+    make_ae_train_step,
+    make_sampler_ae_eval_step,
+    make_sampler_ae_train_step,
+)
+from samplenet_tpu.utils import Logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("train_reconstruction")
+    p.add_argument("--phase", choices=["ae", "samplenet"], default="ae")
+    p.add_argument("--num-points", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--train-size", type=int, default=500)
+    p.add_argument("--test-size", type=int, default=100)
+    p.add_argument("--loss", choices=["chamfer", "emd"], default="chamfer")
+    p.add_argument("--bottleneck-size", type=int, default=128)
+    p.add_argument("--num-out-points", type=int, default=64)
+    p.add_argument("--group-size", type=int, default=16)
+    p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--lmbda", type=float, default=0.0001)
+    p.add_argument("--ae-ckpt", default="log/ae/ckpt")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from samplenet_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup()
+    args = parse_args(argv)
+    log_dir = args.log_dir or f"log/reconstruction_{args.phase}"
+    logger = Logger(log_dir, args.phase)
+    train_data, _ = make_dataset(args.train_size, args.num_points, seed=args.seed)
+    test_data, _ = make_dataset(args.test_size, args.num_points, seed=args.seed + 1)
+    rng = jax.random.PRNGKey(args.seed)
+    np_rng = np.random.RandomState(0)
+    dummy_labels = np.zeros(len(train_data), np.int32)
+
+    if args.phase == "ae":
+        cfg = AEConfig(num_points=args.num_points, loss=args.loss,
+                       batch_size=args.batch_size,
+                       bottleneck_size=args.bottleneck_size,
+                       n_sample_points=args.num_points)
+        model, state = create_ae_state(cfg, rng)
+        step = make_ae_train_step(model, cfg)
+        eval_step = make_ae_eval_step(model)
+        for epoch in range(args.epochs):
+            losses = []
+            for bi, (bx, _) in enumerate(iterate_batches(
+                    train_data, dummy_labels, args.batch_size, rng=np_rng)):
+                if args.steps_per_epoch and bi >= args.steps_per_epoch:
+                    break
+                state, loss = step(state, jnp.asarray(bx))
+                losses.append(float(loss))
+            test_losses = [
+                float(np.mean(np.asarray(eval_step(state, jnp.asarray(bx)))))
+                for bx, _ in iterate_batches(
+                    test_data, np.zeros(len(test_data), np.int32),
+                    args.batch_size, shuffle=False)
+            ]
+            logger.log(f"epoch {epoch}: train={np.mean(losses):.5f} "
+                       f"test={np.mean(test_losses):.5f}")
+            logger.metrics(int(state.step), train=np.mean(losses),
+                           test=np.mean(test_losses))
+        checkpoints.save(f"{log_dir}/ckpt", {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "config": {"num_points": args.num_points,
+                       "bottleneck_size": args.bottleneck_size,
+                       "loss": args.loss},
+        })
+        logger.log(f"saved checkpoint to {log_dir}/ckpt")
+        return state
+
+    # phase == samplenet
+    ae_ckpt = checkpoints.restore(args.ae_ckpt)
+    from samplenet_tpu.models.autoencoder import PointNetAE
+
+    ae = PointNetAE(num_output_points=int(ae_ckpt["config"]["num_points"]),
+                    bottleneck_size=int(ae_ckpt["config"]["bottleneck_size"]))
+    ae_vars = {"params": ae_ckpt["params"], "batch_stats": ae_ckpt["batch_stats"]}
+    scfg = SampleNetAEConfig(
+        num_out_points=args.num_out_points,
+        group_size=args.group_size,
+        alpha=args.alpha, lmbda=args.lmbda,
+        batch_size=args.batch_size,
+    )
+    sampler, state = create_sampler_ae_state(scfg, args.num_points, rng)
+    step = make_sampler_ae_train_step(sampler, ae, ae_vars, scfg,
+                                      ae_loss=str(ae_ckpt["config"]["loss"]))
+    eval_step = make_sampler_ae_eval_step(sampler, ae, ae_vars)
+    for epoch in range(args.epochs):
+        agg: dict[str, list] = {}
+        for bi, (bx, _) in enumerate(iterate_batches(
+                train_data, dummy_labels, args.batch_size, rng=np_rng)):
+            if args.steps_per_epoch and bi >= args.steps_per_epoch:
+                break
+            state, metrics = step(state, jnp.asarray(bx))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        mean = {k: float(np.mean(v)) for k, v in agg.items()}
+        report = evaluate_nre(eval_step, state, test_data, args.batch_size)
+        logger.log(f"epoch {epoch}: " +
+                   " ".join(f"{k}={v:.5f}" for k, v in mean.items()) +
+                   f" | NRE={report['nre']:.4f}")
+        logger.metrics(int(state.step), nre=report["nre"], **mean)
+    checkpoints.save(f"{log_dir}/ckpt", {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    })
+    logger.log(f"saved checkpoint to {log_dir}/ckpt")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Reconstruction track tests: AE forward/losses, sampler-vs-AE steps, NRE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samplenet_tpu.models.autoencoder import (
+    PointNetAE,
+    ae_chamfer_loss,
+    ae_emd_loss,
+    ae_per_cloud_chamfer,
+)
+from samplenet_tpu.train.reconstruction import (
+    AEConfig,
+    SampleNetAEConfig,
+    create_ae_state,
+    create_sampler_ae_state,
+    evaluate_nre,
+    make_ae_eval_step,
+    make_ae_train_step,
+    make_sampler_ae_eval_step,
+    make_sampler_ae_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def ae_setup():
+    cfg = AEConfig(num_points=64, bottleneck_size=32, batch_size=4,
+                   n_sample_points=64)
+    model, state = create_ae_state(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64, 3), jnp.float32)
+    return cfg, model, state, x
+
+
+class TestPointNetAE:
+    def test_forward_shapes(self, ae_setup):
+        _, model, state, x = ae_setup
+        recon = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, training=False)
+        assert recon.shape == (4, 64, 3)
+
+    def test_encode_decode_split(self, ae_setup):
+        _, model, state, x = ae_setup
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        z = model.apply(variables, x, training=False, method=PointNetAE.encode)
+        assert z.shape == (4, 32)
+        recon = model.apply(variables, z, method=PointNetAE.decode)
+        full = model.apply(variables, x, training=False)
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(full), atol=1e-5)
+
+    def test_sort_output_is_permutation(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 3), jnp.float32)
+        sorted_x = PointNetAE.sort_output(x)
+        for b in range(2):
+            a = np.sort(np.asarray(x[b]), axis=0)
+            s = np.sort(np.asarray(sorted_x[b]), axis=0)
+            np.testing.assert_allclose(a, s, atol=1e-6)
+
+    def test_losses_zero_for_identical(self):
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 32, 3), jnp.float32)
+        assert float(ae_chamfer_loss(x, x)) < 1e-10
+        assert float(ae_emd_loss(x, x)) < 1e-2
+
+    def test_train_step_reduces_loss(self, ae_setup):
+        cfg, model, state, x = ae_setup
+        step = make_ae_train_step(model, cfg)
+        losses = []
+        for _ in range(30):
+            state, loss = step(state, x)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8
+
+    def test_eval_step_per_cloud(self, ae_setup):
+        _, model, state, x = ae_setup
+        eval_step = make_ae_eval_step(model)
+        per_cloud = eval_step(state, x)
+        assert per_cloud.shape == (4,)
+        assert bool(jnp.isfinite(per_cloud).all())
+
+
+class TestSampleNetAE:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        acfg = AEConfig(num_points=64, bottleneck_size=32, batch_size=4,
+                        n_sample_points=64)
+        ae, astate = create_ae_state(acfg, jax.random.PRNGKey(0))
+        ae_vars = {"params": astate.params, "batch_stats": astate.batch_stats}
+        scfg = SampleNetAEConfig(num_out_points=16, group_size=4, batch_size=4)
+        sampler, sstate = create_sampler_ae_state(scfg, 64, jax.random.PRNGKey(1))
+        x = jnp.asarray(np.random.RandomState(3).randn(4, 64, 3), jnp.float32)
+        return scfg, sampler, sstate, ae, ae_vars, x
+
+    def test_train_step(self, setup):
+        scfg, sampler, state, ae, ae_vars, x = setup
+        step = make_sampler_ae_train_step(sampler, ae, ae_vars, scfg)
+        state, metrics = step(state, x)
+        for k in ("loss", "ae", "simplification", "projection"):
+            assert np.isfinite(float(metrics[k])), k
+        assert float(metrics["projection"]) > 0
+
+    def test_eval_and_nre(self, setup):
+        scfg, sampler, state, ae, ae_vars, x = setup
+        eval_step = make_sampler_ae_eval_step(sampler, ae, ae_vars)
+        report = evaluate_nre(eval_step, state, np.asarray(x), 4)
+        assert report["nre"] > 0
+        assert report["loss_sampled_mean"] >= 0
+
+    def test_recon_sampler_has_no_fc_bn(self, setup):
+        _, sampler, state, *_ = setup
+        fcs = state.params["simplifier"]["fcs"]
+        assert not any(k.startswith("bn") for k in fcs), list(fcs)
+
+
+class TestNREComputation:
+    def test_nre_identity(self):
+        """NRE == 1 when sampled and full reconstructions coincide."""
+        losses = np.array([0.5, 0.7])
+        assert float(losses.mean() / losses.mean()) == 1.0
+
+    def test_per_cloud_chamfer_matches_total(self):
+        rng = np.random.RandomState(4)
+        a = jnp.asarray(rng.randn(3, 16, 3), jnp.float32)
+        b = jnp.asarray(rng.randn(3, 24, 3), jnp.float32)
+        per = ae_per_cloud_chamfer(a, b)
+        total = ae_chamfer_loss(a, b)
+        assert float(jnp.mean(per)) == pytest.approx(float(total), rel=1e-5)

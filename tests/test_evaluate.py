@@ -1,0 +1,116 @@
+"""Evaluation protocol tests (voting, matched eval, dumps, from-files)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+from samplenet_tpu.models.samplenet import SampleNet
+from samplenet_tpu.train.evaluate import (
+    evaluate_classifier_voting,
+    evaluate_from_files,
+    evaluate_samplenet_matched,
+    infer_and_dump,
+)
+from samplenet_tpu.train.state import TrainState
+from samplenet_tpu.utils.config import Configuration
+from samplenet_tpu.utils.pointcloud import (
+    apply_augmentations,
+    complementary_points_idx,
+    iterate_in_chunks,
+    rand_rotation_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    classifier = PointNetClassifier(num_classes=4)
+    c_vars = classifier.init(jax.random.PRNGKey(0),
+                             jnp.zeros((2, 16, 3)), training=False)
+    sampler = SampleNet(num_out_points=16, bottleneck_size=32, group_size=4)
+    s_vars = sampler.init(jax.random.PRNGKey(1),
+                          jnp.zeros((2, 64, 3)), training=False)
+    rng = np.random.RandomState(0)
+    data = rng.randn(8, 64, 3).astype(np.float32)
+    labels = rng.randint(0, 4, 8).astype(np.int32)
+    return classifier, c_vars, sampler, s_vars, data, labels
+
+
+class TestVotingEval:
+    def test_runs_and_bounded(self, models):
+        classifier, c_vars, _, _, data, labels = models
+        report = evaluate_classifier_voting(
+            classifier, c_vars, data[:, :16], labels, 4, num_votes=3)
+        assert 0.0 <= report["accuracy"] <= 1.0
+        assert report["per_class_accuracy"].shape == (4,)
+
+
+class TestMatchedEval:
+    def test_unique_nn_counts(self, models):
+        classifier, c_vars, sampler, s_vars, data, labels = models
+        report = evaluate_samplenet_matched(
+            sampler, s_vars, classifier, c_vars, data, labels, 4)
+        assert 1 <= report["mean_unique_nn"] <= 16
+        assert 0.0 <= report["accuracy"] <= 1.0
+
+
+class TestDumpsAndFromFiles:
+    def test_roundtrip(self, models, tmp_path):
+        pytest.importorskip("h5py")
+        classifier, c_vars, sampler, s_vars, data, labels = models
+        state = TrainState.create(params=s_vars["params"],
+                                  batch_stats=s_vars["batch_stats"],
+                                  tx=optax.identity())
+        paths = infer_and_dump(sampler, state, data, labels, str(tmp_path),
+                               num_out_points=16, batch_size=4)
+        assert set(paths) == {"simplified", "soft_projected",
+                              "hard_projected", "sampled"}
+        accs = evaluate_from_files(classifier, c_vars, paths["sampled"],
+                                   [4, 8, 16], batch_size=4)
+        assert set(accs) == {4, 8, 16}
+
+
+class TestConfiguration:
+    def test_save_load_roundtrip(self, tmp_path):
+        c = Configuration(batch_size=50, loss="chamfer", alpha=0.01)
+        c.extra = [1, 2, 3]
+        c.save(str(tmp_path))
+        c2 = Configuration.load(str(tmp_path))
+        assert c2.batch_size == 50 and c2.loss == "chamfer"
+        assert c2.extra == [1, 2, 3]
+        assert c2.exists_and_is_not_none("alpha")
+        assert not c2.exists_and_is_not_none("missing")
+
+
+class TestPointcloudUtils:
+    def test_rand_rotation_orthonormal(self):
+        r = rand_rotation_matrix(np.random.RandomState(0))
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+    def test_complementary_idx(self):
+        comp = complementary_points_idx(6, [1, 3])
+        np.testing.assert_array_equal(comp, [0, 2, 4, 5])
+
+    def test_chunks(self):
+        assert [list(c) for c in iterate_in_chunks(list(range(5)), 2)] == \
+            [[0, 1], [2, 3], [4]]
+
+    def test_apply_augmentations(self):
+        batch = np.random.RandomState(1).randn(4, 16, 3).astype(np.float32)
+        out = apply_augmentations(batch, z_rotate=True,
+                                  gauss_augment={"sigma": 0.01},
+                                  rng=np.random.RandomState(2))
+        assert out.shape == batch.shape
+        # z-rotation preserves the z coordinate up to the gaussian noise
+        np.testing.assert_allclose(out[..., 2], batch[..., 2], atol=0.1)
+
+    def test_plot_saves_png(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from samplenet_tpu.utils.pointcloud import plot_3d_point_cloud
+        pts = np.random.RandomState(3).randn(50, 3)
+        path = str(tmp_path / "cloud.png")
+        plot_3d_point_cloud(pts, show=False, save_path=path)
+        import os
+        assert os.path.getsize(path) > 0

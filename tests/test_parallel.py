@@ -1,0 +1,99 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from samplenet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    shard_batch,
+    shard_params,
+)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+class TestMesh:
+    def test_default_all_data(self):
+        mesh = make_mesh()
+        assert dict(mesh.shape) == {"data": 8, "model": 1}
+
+    def test_data_model_split(self):
+        mesh = make_mesh(model=2)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    def test_invalid_split_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(data=3, model=2)
+
+
+class TestSharding:
+    def test_batch_sharded_over_data(self):
+        mesh = make_mesh(model=2)
+        x = jnp.zeros((8, 16, 3))
+        xs = shard_batch(mesh, x)
+        assert xs.sharding.spec == P("data")
+
+    def test_param_rules_tp_wide_kernels(self):
+        mesh = make_mesh(model=2)
+        rule = param_sharding_rules(mesh)
+        wide = jax.ShapeDtypeStruct((128, 1024), jnp.float32)
+        narrow = jax.ShapeDtypeStruct((64, 64), jnp.float32)
+        assert rule((), wide).spec == P(None, "model")
+        assert rule((), narrow).spec == P()
+
+    def test_sharded_equals_replicated_compute(self):
+        """Data-parallel forward must match single-device numerics."""
+        from samplenet_tpu.models import SampleNet
+
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        x = jnp.asarray(np.random.RandomState(0).randn(8, 64, 3), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x[:2], training=False)
+
+        ref_simp, ref_match = jax.jit(
+            lambda v, x: net.apply(v, x, training=False))(v, x)
+
+        mesh = make_mesh()
+        with mesh:
+            vs = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P())), v)
+            xs = shard_batch(mesh, x)
+            simp, match = jax.jit(
+                lambda v, x: net.apply(v, x, training=False))(vs, xs)
+        np.testing.assert_allclose(np.asarray(simp), np.asarray(ref_simp),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(match), np.asarray(ref_match),
+                                   atol=1e-5)
+
+    def test_tensor_parallel_classifier_matches(self):
+        """TP-sharded wide kernels produce the same logits."""
+        from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+
+        model = PointNetClassifier(num_classes=10)
+        x = jnp.asarray(np.random.RandomState(1).randn(8, 64, 3), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x[:2], training=False)
+        ref, _ = jax.jit(lambda v, x: model.apply(v, x, training=False))(v, x)
+
+        mesh = make_mesh(model=2)
+        with mesh:
+            params = shard_params(mesh, v["params"])
+            bs = shard_params(mesh, v["batch_stats"])
+            xs = shard_batch(mesh, x)
+            out, _ = jax.jit(lambda p, b, x: model.apply(
+                {"params": p, "batch_stats": b}, x, training=False))(
+                    params, bs, xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
+class TestDryrun:
+    def test_graft_entry_dryrun(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -92,6 +92,7 @@ class SampleNet(nn.Module):
     conv_widths: tuple = (64, 64, 64, 128)
     fc_widths: tuple = (256, 256, 256)
     fc_bn: bool = True
+    use_pallas: bool = False
 
     def setup(self):
         if self.input_shape not in ("bnc", "bcn"):
@@ -111,6 +112,7 @@ class SampleNet(nn.Module):
             is_temperature_trainable=self.is_temperature_trainable,
             min_sigma=self.min_sigma,
             sigma_mode=self.sigma_mode,
+            use_pallas=self.use_pallas,
         )
 
     def __call__(

@@ -57,6 +57,7 @@ class SoftProjection(nn.Module):
     is_temperature_trainable: bool = True
     min_sigma: float = 1e-2
     sigma_mode: str = "torch"
+    use_pallas: bool = False  # fused kernel for project(); differentiable
 
     def setup(self):
         init = nn.initializers.constant(self.initial_temperature)
@@ -86,7 +87,18 @@ class SoftProjection(nn.Module):
         return jax.nn.softmax(-dist, axis=-1), dist
 
     def project(self, point_cloud, query_cloud, hard: bool = False):
-        """Returns (projected [B, M, 3], weights [B, M, k], dist [B, M, k])."""
+        """Returns (projected [B, M, 3], weights [B, M, k], dist [B, M, k]).
+
+        With use_pallas=True the soft path runs the fused Pallas kernel
+        (ops/pallas/soft_projection_kernel.py) — one VMEM pass, custom VJP —
+        and weights/dist come back as None (they only exist as kernel
+        internals there)."""
+        if self.use_pallas and not hard:
+            from samplenet_tpu.ops.pallas import soft_project
+
+            projected = soft_project(
+                point_cloud, query_cloud, self.sigma(), self.group_size)
+            return projected, None, None
         grouped_points, _ = self._group(point_cloud, query_cloud)
         weights, dist = self._weights(grouped_points, query_cloud)
         if hard:

@@ -1,3 +1,4 @@
 from samplenet_tpu.ops.pallas.soft_projection_kernel import (  # noqa: F401
     fused_soft_projection,
+    soft_project,
 )

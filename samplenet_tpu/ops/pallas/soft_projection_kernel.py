@@ -35,6 +35,7 @@ def _soft_projection_kernel(
     pt_ref,        # VMEM (1, 3, N): point cloud, channel-major
     q_ref,         # VMEM (1, TM, 3): query tile
     out_ref,       # VMEM (1, TM, 3)
+    idx_ref,       # VMEM (1, TM, K): int32 neighbour indices (ascending dist)
     *,
     group_size: int,
     n_points: int,
@@ -71,6 +72,7 @@ def _soft_projection_kernel(
         w = jnp.exp(-(d_i - d_min0) / sigma)           # [TM]
         num = num + w[:, None] * p_i
         den = den + w
+        idx_ref[0, :, i] = idx
         if i + 1 < group_size:
             d2 = jnp.where(onehot > 0, inf, d2)        # knock out the winner
     out_ref[0] = num / den[:, None]
@@ -101,7 +103,7 @@ def fused_soft_projection(
     kernel = functools.partial(
         _soft_projection_kernel, group_size=group_size, n_points=n
     )
-    out = pl.pallas_call(
+    out, idx = pl.pallas_call(
         kernel,
         grid=(b, m_padded // tm),
         in_specs=[
@@ -111,9 +113,62 @@ def fused_soft_projection(
             pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m_padded, 3), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, tm, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, group_size), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m_padded, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, m_padded, group_size), jnp.int32),
+        ),
         interpret=interpret,
     )(sigma_arr, pts_t, query_cloud.astype(jnp.float32))
-    return out[:, :m]
+    return out[:, :m], idx[:, :m]
+
+
+def _soft_project_ref(point_cloud, query_cloud, sigma, idx):
+    """Differentiable recomputation from saved kNN indices (pure XLA)."""
+    from samplenet_tpu.ops.knn import group_point
+
+    grouped = group_point(point_cloud, idx)              # [B, M, k, 3]
+    d2 = jnp.sum((grouped - query_cloud[:, :, None, :]) ** 2, axis=-1)
+    w = jax.nn.softmax(-d2 / sigma, axis=-1)
+    return jnp.sum(grouped * w[..., None], axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def soft_project(point_cloud, query_cloud, sigma, group_size=7,
+                 tile_m=128, interpret=False):
+    """Differentiable fused soft projection.
+
+    Forward runs the Pallas kernel (one VMEM pass, also emitting neighbour
+    indices); backward recomputes the gather+softmax from those indices in
+    XLA — O(M*k) instead of O(M*N) — and autodiffs analytically. Gradients
+    flow to point_cloud, query_cloud, AND sigma (the temperature), matching
+    the pure-XLA training path.
+    """
+    out, _ = fused_soft_projection(
+        point_cloud, query_cloud, sigma,
+        group_size=group_size, tile_m=tile_m, interpret=interpret)
+    return out
+
+
+def _soft_project_fwd(point_cloud, query_cloud, sigma, group_size,
+                      tile_m, interpret):
+    out, idx = fused_soft_projection(
+        point_cloud, query_cloud, sigma,
+        group_size=group_size, tile_m=tile_m, interpret=interpret)
+    return out, (point_cloud, query_cloud, sigma, idx)
+
+
+def _soft_project_bwd(group_size, tile_m, interpret, residuals, g):
+    point_cloud, query_cloud, sigma, idx = residuals
+    _, vjp = jax.vjp(
+        lambda p, q, s: _soft_project_ref(p, q, s, idx),
+        point_cloud, query_cloud, sigma)
+    return vjp(g)
+
+
+soft_project.defvjp(_soft_project_fwd, _soft_project_bwd)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from samplenet_tpu.ops.knn import group_point, knn_point
-from samplenet_tpu.ops.pallas import fused_soft_projection
+from samplenet_tpu.ops.pallas import fused_soft_projection, soft_project
 
 
 def xla_soft_projection(pc, qc, sigma, k):
@@ -24,10 +24,14 @@ class TestFusedSoftProjection:
         qc = jnp.asarray(rng.randn(2, 128, 3), jnp.float32)
         sigma = jnp.asarray(0.5)
         exp = xla_soft_projection(pc, qc, sigma, k)
-        got = fused_soft_projection(pc, qc, sigma, group_size=k,
-                                    interpret=True)
+        got, idx = fused_soft_projection(pc, qc, sigma, group_size=k,
+                                         interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                    rtol=1e-4, atol=1e-5)
+        # emitted indices must be the true kNN set (order-insensitive)
+        _, exp_idx = knn_point(k, pc, qc)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                      np.sort(np.asarray(exp_idx), -1))
 
     def test_query_padding(self):
         """M not divisible by the tile size."""
@@ -35,8 +39,8 @@ class TestFusedSoftProjection:
         pc = jnp.asarray(rng.randn(1, 64, 3), jnp.float32)
         qc = jnp.asarray(rng.randn(1, 50, 3), jnp.float32)
         exp = xla_soft_projection(pc, qc, jnp.asarray(1.0), 4)
-        got = fused_soft_projection(pc, qc, jnp.asarray(1.0), group_size=4,
-                                    tile_m=16, interpret=True)
+        got, _ = fused_soft_projection(pc, qc, jnp.asarray(1.0), group_size=4,
+                                       tile_m=16, interpret=True)
         assert got.shape == (1, 50, 3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                    rtol=1e-4, atol=1e-5)
@@ -46,8 +50,39 @@ class TestFusedSoftProjection:
         rng = np.random.RandomState(2)
         pc = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
         qc = jnp.asarray(rng.randn(1, 16, 3), jnp.float32)
-        got = fused_soft_projection(pc, qc, jnp.asarray(1e-4), group_size=4,
-                                    interpret=True)
+        got, _ = fused_soft_projection(pc, qc, jnp.asarray(1e-4), group_size=4,
+                                       interpret=True)
         _, idx = knn_point(1, pc, qc)
         nn = jnp.take_along_axis(pc, idx[..., 0][..., None], axis=1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(nn), atol=1e-3)
+
+
+class TestDifferentiableSoftProject:
+    def test_gradients_match_xla_path(self):
+        rng = np.random.RandomState(3)
+        pc = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        qc = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
+        sigma = jnp.asarray(0.7)
+
+        def loss_pallas(p, q, s):
+            return jnp.sum(soft_project(p, q, s, 5, 128, True) ** 2)
+
+        def loss_xla(p, q, s):
+            return jnp.sum(xla_soft_projection(p, q, s, 5) ** 2)
+
+        gp1, gq1, gs1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(pc, qc, sigma)
+        gp2, gq2, gs2 = jax.grad(loss_xla, argnums=(0, 1, 2))(pc, qc, sigma)
+        np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2),
+                                   rtol=1e-3, atol=1e-4)
+        assert float(gs1) == pytest.approx(float(gs2), rel=1e-3)
+
+    def test_forward_matches(self):
+        rng = np.random.RandomState(4)
+        pc = jnp.asarray(rng.randn(1, 48, 3), jnp.float32)
+        qc = jnp.asarray(rng.randn(1, 16, 3), jnp.float32)
+        out = soft_project(pc, qc, jnp.asarray(0.5), 3, 128, True)
+        exp = xla_soft_projection(pc, qc, jnp.asarray(0.5), 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                                   rtol=1e-4, atol=1e-5)

@@ -1,0 +1,117 @@
+"""Blockwise nn-distance (Chamfer) Pallas kernel.
+
+One direction of nn_distance: for every point of X, the squared distance to
+(and index of) its nearest neighbour in Y. The reference's CUDA kernel tiles
+Y through shared memory in 512-point chunks with 4x unrolling
+(classification/structural_losses/tf_nndistance_g.cu:5-100); here each
+(batch, X-tile) grid cell streams Y through VMEM in lane-width chunks and
+keeps the running (min, argmin) in registers — the [TX, N] distance tile
+never exists in HBM.
+
+Forward-only (used for eval/serving and inside stop-gradient index
+computations); the training path keeps the differentiable XLA formulation in
+ops/chamfer.py, which autodiffs to the same +-2g(x-y) gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nn_direction_kernel(
+    xt_ref,    # VMEM (1, 3, N1): query points, channel-major
+    yt_ref,    # VMEM (1, 3, N2): database points, channel-major
+    dist_ref,  # VMEM (1, 1, N1)
+    idx_ref,   # VMEM (1, 1, N1)
+    *,
+    n_queries: int,
+    n_points: int,
+    tile_x: int,
+    chunk: int,
+):
+    for t in range(n_queries // tile_x):
+        x = xt_ref[0, :, t * tile_x : (t + 1) * tile_x]  # [3, TX]
+        best_d = jnp.full((tile_x,), jnp.inf, jnp.float32)
+        best_i = jnp.zeros((tile_x,), jnp.int32)
+        for c in range(n_points // chunk):
+            y = yt_ref[0, :, c * chunk : (c + 1) * chunk]  # [3, CH]
+            d2 = jnp.zeros((tile_x, chunk), jnp.float32)
+            for ax in range(3):
+                diff = x[ax, :][:, None] - y[ax, :][None, :]
+                d2 = d2 + diff * diff
+            c_min = jnp.min(d2, axis=1)
+            c_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + c * chunk
+            take = c_min < best_d
+            best_d = jnp.where(take, c_min, best_d)
+            best_i = jnp.where(take, c_arg, best_i)
+        dist_ref[0, 0, t * tile_x : (t + 1) * tile_x] = best_d
+        idx_ref[0, 0, t * tile_x : (t + 1) * tile_x] = best_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_x", "chunk", "interpret")
+)
+def nn_direction(
+    x: jax.Array,  # [B, N1, 3] queries
+    y: jax.Array,  # [B, N2, 3] database
+    *,
+    tile_x: int = 512,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(dist [B, N1], idx [B, N1]): NN of every x point in y."""
+    b, n1, _ = x.shape
+    n2 = y.shape[1]
+    tx = min(tile_x, n1)
+    pad_x = (-n1) % tx
+    ch = min(chunk, n2)
+    pad_y = (-n2) % ch
+    xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)      # [B, 3, N1]
+    yt = jnp.swapaxes(y, 1, 2).astype(jnp.float32)      # [B, 3, N2]
+    if pad_x:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad_x)))
+    if pad_y:
+        # pad database with +inf-distance sentinels (huge coordinates)
+        yt = jnp.pad(yt, ((0, 0), (0, 0), (0, pad_y)),
+                     constant_values=1e18)
+    n1p, n2p = n1 + pad_x, n2 + pad_y
+
+    kernel = functools.partial(
+        _nn_direction_kernel, n_queries=n1p, n_points=n2p, tile_x=tx, chunk=ch
+    )
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n2p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, n1p), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n1p), jnp.int32),
+        ),
+        interpret=interpret,
+    )(xt, yt)
+    return dist[:, 0, :n1], idx[:, 0, :n1]
+
+
+def nn_distance_pallas(
+    xyz1: jax.Array, xyz2: jax.Array, *, interpret: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Bidirectional NN distances (tf_nndistance contract), fused per side."""
+    d1, i1 = nn_direction(xyz1, xyz2, interpret=interpret)
+    d2, i2 = nn_direction(xyz2, xyz1, interpret=interpret)
+    return d1, i1, d2, i2

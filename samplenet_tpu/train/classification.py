@@ -26,7 +26,13 @@ from samplenet_tpu.models.pointnet_cls import (
     pointnet_loss,
 )
 from samplenet_tpu.models.samplenet import SampleNet
-from samplenet_tpu.train.state import TrainState, adam_with_schedule, staircase_lr
+from samplenet_tpu.train.state import (
+    TrainState,
+    adam_with_schedule,
+    bn_decay_schedule,
+    scheduled_bn_update,
+    staircase_lr,
+)
 
 
 @dataclass
@@ -39,6 +45,9 @@ class ClassifierConfig:
     decay_rate: float = 0.7
     use_tnets: bool = False
     augment: bool = True
+    # TF-style scheduled BN decay 0.5 -> 0.99 (train_samplenet.py:124-133);
+    # when on, BN modules run with momentum 0 and the EMA happens in-step.
+    bn_schedule: bool = False
 
 
 @dataclass
@@ -58,6 +67,7 @@ class SampleNetConfig:
     decay_step: float = 600000.0
     decay_rate: float = 0.7
     batch_size: int = 32
+    bn_schedule: bool = False
 
 
 # --------------------------------------------------------------- classifier
@@ -65,7 +75,9 @@ class SampleNetConfig:
 def create_classifier_state(
     cfg: ClassifierConfig, rng: jax.Array
 ) -> tuple[PointNetClassifier, TrainState]:
-    model = PointNetClassifier(num_classes=cfg.num_classes, use_tnets=cfg.use_tnets)
+    model = PointNetClassifier(
+        num_classes=cfg.num_classes, use_tnets=cfg.use_tnets,
+        bn_momentum=0.0 if cfg.bn_schedule else 0.9)
     dummy = jnp.zeros((2, cfg.num_points, 3), jnp.float32)
     variables = model.init({"params": rng}, dummy, training=False)
     tx = adam_with_schedule(
@@ -96,6 +108,10 @@ def make_classifier_train_step(model: PointNetClassifier, cfg: ClassifierConfig)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if cfg.bn_schedule:
+            decay = bn_decay_schedule(state.step, cfg.batch_size,
+                                      decay_step_samples=cfg.decay_step)
+            new_bs = scheduled_bn_update(state.batch_stats, new_bs, decay)
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return state.apply_gradients(grads, new_batch_stats=new_bs), loss, acc
 
@@ -126,6 +142,7 @@ def create_samplenet_state(
         min_sigma=scfg.min_sigma,
         skip_projection=scfg.skip_projection,
         sigma_mode="tf",  # classification track: sigma = t^2, no clamp
+        bn_momentum=0.0 if scfg.bn_schedule else 0.9,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init({"params": rng}, dummy, training=False)
@@ -172,6 +189,10 @@ def make_samplenet_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         logits, new_bs, task_loss, simp_loss, proj_loss = aux
+        if scfg.bn_schedule:
+            decay = bn_decay_schedule(state.step, scfg.batch_size,
+                                      decay_step_samples=scfg.decay_step)
+            new_bs = scheduled_bn_update(state.batch_stats, new_bs, decay)
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         metrics = {"loss": loss, "task": task_loss, "simplification": simp_loss,

@@ -70,3 +70,36 @@ def staircase_lr(
 
 def adam_with_schedule(schedule: optax.Schedule) -> optax.GradientTransformation:
     return optax.adam(learning_rate=schedule)
+
+
+def bn_decay_schedule(
+    step: jax.Array,
+    batch_size: int,
+    *,
+    init_decay: float = 0.5,
+    decay_rate: float = 0.5,
+    decay_step_samples: float = 200000.0,
+    clip: float = 0.99,
+):
+    """The reference's BatchNorm-decay schedule
+    (classification/train_samplenet.py:124-133): momentum ramps
+    1 - init_decay * rate^(samples/decay_step) from 0.5 toward `clip`.
+    """
+    samples = step.astype(jax.numpy.float32) * batch_size
+    staircase = jax.numpy.floor(samples / decay_step_samples)
+    momentum = init_decay * (decay_rate ** staircase)
+    return jax.numpy.minimum(clip, 1.0 - momentum)
+
+
+def scheduled_bn_update(old_stats, batch_stats, decay: jax.Array):
+    """EMA of running stats with a step-dependent decay.
+
+    Models must run their BatchNorm with momentum=0 (so `batch_stats` are
+    the raw per-batch statistics); this applies
+    new = decay*old + (1-decay)*batch — the same update flax would do with
+    a fixed momentum, but with the TF-style scheduled decay.
+    """
+    return jax.tree_util.tree_map(
+        lambda old, new: decay * old + (1.0 - decay) * new,
+        old_stats, batch_stats,
+    )

@@ -5,8 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from samplenet_tpu.ops.chamfer import nn_distance
 from samplenet_tpu.ops.knn import group_point, knn_point
-from samplenet_tpu.ops.pallas import fused_soft_projection, soft_project
+from samplenet_tpu.ops.pallas import (
+    fused_soft_projection,
+    nn_distance_pallas,
+    soft_project,
+)
 
 
 def xla_soft_projection(pc, qc, sigma, k):
@@ -86,3 +91,25 @@ class TestDifferentiableSoftProject:
         exp = xla_soft_projection(pc, qc, jnp.asarray(0.5), 3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestChamferKernel:
+    def test_matches_xla_nn_distance(self):
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, 300, 3), jnp.float32)  # non-divisible N
+        y = jnp.asarray(rng.randn(2, 200, 3), jnp.float32)
+        d1, i1, d2, i2 = nn_distance_pallas(x, y, interpret=True)
+        ed1, ei1, ed2, ei2 = nn_distance(x, y)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(ed1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(ed2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ei1))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ei2))
+
+    def test_self_distance_zero(self):
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(1, 128, 3), jnp.float32)
+        d1, i1, _, _ = nn_distance_pallas(x, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1)[0], np.arange(128))

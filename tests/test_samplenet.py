@@ -214,3 +214,42 @@ class TestBaselineSamplers:
                               "sampler": jax.random.PRNGKey(1)}, x)
         y, _ = net.apply(variables, x, rngs={"sampler": jax.random.PRNGKey(2)})
         assert y.shape == (2, 8, 3)
+
+
+class TestBNSchedule:
+    def test_decay_ramps_and_clips(self):
+        from samplenet_tpu.train.state import bn_decay_schedule
+        import jax.numpy as jnp
+        d0 = float(bn_decay_schedule(jnp.asarray(0), 32,
+                                     decay_step_samples=1000.0))
+        assert d0 == pytest.approx(0.5)
+        dlate = float(bn_decay_schedule(jnp.asarray(10000), 32,
+                                        decay_step_samples=1000.0))
+        assert dlate == pytest.approx(0.99)
+
+    def test_scheduled_update_matches_fixed_momentum(self):
+        """With a constant decay, the in-step EMA equals flax BN with the
+        same momentum."""
+        from samplenet_tpu.train.state import scheduled_bn_update
+        import jax.numpy as jnp
+        old = {"mean": jnp.asarray([1.0, 2.0]), "var": jnp.asarray([1.0, 1.0])}
+        batch = {"mean": jnp.asarray([3.0, 4.0]), "var": jnp.asarray([2.0, 2.0])}
+        out = scheduled_bn_update(old, batch, jnp.asarray(0.9))
+        np.testing.assert_allclose(np.asarray(out["mean"]),
+                                   [0.9 * 1 + 0.1 * 3, 0.9 * 2 + 0.1 * 4])
+
+    def test_train_step_with_schedule_runs(self):
+        from samplenet_tpu.train.classification import (
+            ClassifierConfig, create_classifier_state,
+            make_classifier_train_step)
+        cfg = ClassifierConfig(num_classes=4, num_points=32, batch_size=4,
+                               bn_schedule=True, augment=False)
+        model, state = create_classifier_state(cfg, jax.random.PRNGKey(0))
+        step = make_classifier_train_step(model, cfg)
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 32, 3), jnp.float32)
+        y = jnp.asarray([0, 1, 2, 3])
+        state, loss, acc = step(state, x, y, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        # running stats must have moved from init toward batch stats
+        leaf = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        assert float(jnp.abs(leaf).sum()) > 0

@@ -48,3 +48,51 @@ def graft(target_params: dict, source_params: dict, at: str) -> dict:
                        f"(have {list(out.keys())})")
     out[at] = source_params
     return out
+
+
+def save_train_state(path: str, state, *, extras: dict | None = None) -> None:
+    """Full training snapshot: params, batch_stats, opt_state, step
+    (the torch snap_best/snap_last contract, registration/main.py:201-218)."""
+    import jax
+
+    tree = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    save(path, tree)
+    # extras ride as JSON beside the tree — arbitrary keys would otherwise
+    # break orbax's strict template matching on restore
+    import json
+
+    with open(os.path.join(os.path.abspath(path), "extras.json"), "w") as f:
+        json.dump(extras or {}, f, default=float)
+
+
+def restore_train_state(path: str, state_template):
+    """Restore a snapshot into a freshly-created TrainState of the same
+    model/optimizer (template supplies the tree structure)."""
+    import jax
+
+    template = {
+        "params": jax.device_get(state_template.params),
+        "batch_stats": jax.device_get(state_template.batch_stats),
+        "opt_state": jax.device_get(state_template.opt_state),
+        "step": jax.device_get(state_template.step),
+    }
+    tree = restore(path, template)
+    state = state_template.replace(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        step=tree["step"],
+    )
+    import json
+
+    extras_path = os.path.join(os.path.abspath(path), "extras.json")
+    extras = {}
+    if os.path.exists(extras_path):
+        with open(extras_path) as f:
+            extras = json.load(f)
+    return state, extras

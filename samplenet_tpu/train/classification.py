@@ -20,6 +20,7 @@ import numpy as np
 import optax
 
 from samplenet_tpu.data import augment, iterate_batches
+from samplenet_tpu.parallel.mesh import batch_sharding, replicated
 from samplenet_tpu.models.pointnet_cls import (
     PointNetClassifier,
     classification_loss,
@@ -220,13 +221,36 @@ def make_samplenet_eval_step(
 
 # -------------------------------------------------------------- train loops
 
+def place_on_mesh(mesh, state):
+    """Replicate a TrainState's arrays over a mesh (params/opt fully
+    replicated; the batch axis carries the data parallelism)."""
+    if mesh is None:
+        return state
+    rep = replicated(mesh)
+    put = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, t)
+    return state.replace(params=put(state.params),
+                         batch_stats=put(state.batch_stats),
+                         opt_state=put(state.opt_state))
+
+
+def _batch_placer(mesh):
+    if mesh is None:
+        return lambda a: jnp.asarray(a)
+    sh = batch_sharding(mesh)
+    return lambda a: jax.device_put(jnp.asarray(a), sh)
+
+
 def train_classifier_loop(
     model, state, cfg: ClassifierConfig, train_data, test_data, *,
     epochs: int, logger, rng: jax.Array, steps_per_epoch: int | None = None,
+    mesh=None,
 ):
     train_step = make_classifier_train_step(model, cfg)
     eval_step = make_classifier_eval_step(model)
     data, labels = train_data
+    state = place_on_mesh(mesh, state)
+    place = _batch_placer(mesh)
     np_rng = np.random.RandomState(0)
     for epoch in range(epochs):
         losses, accs = [], []
@@ -236,7 +260,7 @@ def train_classifier_loop(
                 break
             rng, step_rng = jax.random.split(rng)
             state, loss, acc = train_step(
-                state, jnp.asarray(bx), jnp.asarray(by), step_rng)
+                state, place(bx), place(by), step_rng)
             losses.append(loss)
             accs.append(acc)
         test_acc = evaluate_classifier(eval_step, state, test_data, cfg.batch_size)
@@ -260,13 +284,16 @@ def evaluate_classifier(eval_step, state, test_data, batch_size) -> float:
 def train_samplenet_loop(
     sampler, state, scfg: SampleNetConfig, classifier, classifier_vars,
     train_data, test_data, *, epochs: int, logger, rng: jax.Array,
-    steps_per_epoch: int | None = None,
+    steps_per_epoch: int | None = None, start_epoch: int = 0,
+    epoch_callback=None, mesh=None,
 ):
     train_step = make_samplenet_train_step(sampler, classifier, classifier_vars, scfg)
     eval_step = make_samplenet_eval_step(sampler, classifier, classifier_vars)
     data, labels = train_data
-    np_rng = np.random.RandomState(0)
-    for epoch in range(epochs):
+    state = place_on_mesh(mesh, state)
+    place = _batch_placer(mesh)
+    np_rng = np.random.RandomState(start_epoch)
+    for epoch in range(start_epoch, epochs):
         agg: dict[str, list] = {}
         for bi, (bx, by) in enumerate(iterate_batches(
                 data, labels, scfg.batch_size, rng=np_rng)):
@@ -274,7 +301,7 @@ def train_samplenet_loop(
                 break
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(
-                state, jnp.asarray(bx), jnp.asarray(by), step_rng)
+                state, place(bx), place(by), step_rng)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)
         means = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
@@ -283,6 +310,8 @@ def train_samplenet_loop(
                    " ".join(f"{k}={v:.4f}" for k, v in means.items()) +
                    f" eval_acc@{scfg.num_out_points}={test_acc:.4f}")
         logger.metrics(int(state.step), eval_acc=test_acc, **means)
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, test_acc)
     return state
 
 

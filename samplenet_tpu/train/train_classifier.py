@@ -38,6 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--test-size", type=int, default=400)
     p.add_argument("--log-dir", default="log/classifier")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
     return p.parse_args(argv)
 
 
@@ -77,6 +79,8 @@ def main(argv=None):
         model, state, cfg, train, test,
         epochs=args.epochs, logger=logger, rng=rng,
         steps_per_epoch=args.steps_per_epoch,
+        mesh=(__import__("samplenet_tpu.parallel.mesh", fromlist=["make_mesh"])
+              .make_mesh() if args.data_parallel else None),
     )
     ckpt_path = f"{args.log_dir}/ckpt"
     checkpoints.save(ckpt_path, {

@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--test-size", type=int, default=400)
     p.add_argument("--log-dir", default="log/samplenet")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the snap_last snapshot in --log-dir")
     return p.parse_args(argv)
 
 
@@ -76,12 +80,35 @@ def main(argv=None):
     )
     rng = jax.random.PRNGKey(args.seed)
     sampler, state = create_samplenet_state(scfg, args.num_points, rng)
+
+    import os
+    start_epoch = 0
+    best = {"acc": -1.0}
+    snap_last = f"{args.log_dir}/snap_last"
+    snap_best = f"{args.log_dir}/snap_best"
+    if args.resume and os.path.isdir(snap_last):
+        state, extras = checkpoints.restore_train_state(snap_last, state)
+        start_epoch = int(extras.get("epoch", -1)) + 1
+        best["acc"] = float(extras.get("best_acc", -1.0))
+        logger.log(f"resumed from {snap_last} at epoch {start_epoch} "
+                   f"(best_acc={best['acc']:.4f})")
+
+    def on_epoch_end(epoch, st, test_acc):
+        extras = {"epoch": epoch, "best_acc": max(best["acc"], test_acc)}
+        checkpoints.save_train_state(snap_last, st, extras=extras)
+        if test_acc > best["acc"]:
+            best["acc"] = test_acc
+            checkpoints.save_train_state(snap_best, st, extras=extras)
+
     logger.log(f"training SampleNet {args.num_points}->{args.num_out_points} "
                f"against frozen classifier, device={jax.devices()[0]}")
     state = train_samplenet_loop(
         sampler, state, scfg, classifier, classifier_vars, train, test,
         epochs=args.epochs, logger=logger, rng=rng,
         steps_per_epoch=args.steps_per_epoch,
+        start_epoch=start_epoch, epoch_callback=on_epoch_end,
+        mesh=(__import__("samplenet_tpu.parallel.mesh", fromlist=["make_mesh"])
+              .make_mesh() if args.data_parallel else None),
     )
     eval_step = make_samplenet_eval_step(sampler, classifier, classifier_vars)
     table = per_class_accuracy(eval_step, state, test,

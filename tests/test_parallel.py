@@ -97,3 +97,34 @@ class TestDryrun:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestDataParallelLoop:
+    def test_samplenet_train_loop_on_mesh(self):
+        """One epoch of the real training loop on the 8-device mesh."""
+        import jax.numpy as jnp
+        from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+        from samplenet_tpu.train.classification import (
+            SampleNetConfig,
+            create_samplenet_state,
+            train_samplenet_loop,
+        )
+        from samplenet_tpu.utils.logging import Logger
+
+        scfg = SampleNetConfig(num_out_points=8, bottleneck_size=32,
+                               group_size=4, batch_size=8)
+        sampler, state = create_samplenet_state(scfg, 64, jax.random.PRNGKey(0))
+        classifier = PointNetClassifier(num_classes=4)
+        c_vars = classifier.init(jax.random.PRNGKey(1),
+                                 jnp.zeros((2, 8, 3)), training=False)
+        rng = np.random.RandomState(0)
+        data = rng.randn(16, 64, 3).astype(np.float32)
+        labels = rng.randint(0, 4, 16).astype(np.int32)
+        mesh = make_mesh()
+        with mesh:
+            state = train_samplenet_loop(
+                sampler, state, scfg, classifier, c_vars,
+                (data, labels), (data, labels),
+                epochs=1, logger=Logger(None), rng=jax.random.PRNGKey(2),
+                mesh=mesh)
+        assert int(state.step) == 2  # 16 clouds / batch 8

@@ -26,6 +26,7 @@ from samplenet_tpu.ops.fps import (  # noqa: F401
     fps_from_given,
     gather_point,
     prob_sample,
+    non_sampled,
 )
 from samplenet_tpu.ops.matching import (  # noqa: F401
     approx_match,

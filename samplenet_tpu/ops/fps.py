@@ -127,3 +127,19 @@ def prob_sample(key: jax.Array, weights: jax.Array, npoint: int) -> jax.Array:
     u = jax.random.uniform(key, (weights.shape[0], npoint)) * total
     idx = jnp.sum(cdf[:, None, :] < u[:, :, None], axis=-1)
     return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)
+
+
+def non_sampled(ndataset: int, idx: jax.Array) -> jax.Array:
+    """Complement of a sampled index set, per batch row
+    (reconstruction/external/sampling/tf_sampling.py:79-108 semantics:
+    for [B, npoint] unique indices into range(ndataset), return the
+    [B, ndataset - npoint] indices NOT sampled, ascending)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    b, npoint = idx.shape
+    indicator = jnp.zeros((b, ndataset), jnp.int32)
+    indicator = jax.vmap(lambda ind, i: ind.at[i].set(1))(indicator, idx)
+    order = jax.lax.broadcasted_iota(jnp.int32, (b, ndataset), 1)
+    # rank non-sampled first (stable ascending), take the complement count
+    key = jnp.where(indicator == 0, order, order + ndataset)
+    _, comp = jax.lax.top_k(-key, ndataset - npoint)
+    return jnp.sort(comp.astype(jnp.int32), axis=1)

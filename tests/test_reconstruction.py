@@ -126,3 +126,66 @@ class TestNREComputation:
         per = ae_per_cloud_chamfer(a, b)
         total = ae_chamfer_loss(a, b)
         assert float(jnp.mean(per)) == pytest.approx(float(total), rel=1e-5)
+
+
+class TestAEAnalysis:
+    @pytest.fixture(scope="class")
+    def ae(self):
+        cfg = AEConfig(num_points=32, bottleneck_size=16, batch_size=4,
+                       n_sample_points=32)
+        model, state = create_ae_state(cfg, jax.random.PRNGKey(0))
+        return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+    def test_latent_interpolation_endpoints(self, ae):
+        from samplenet_tpu.models import ae_analysis as A
+        model, ae_vars = ae
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(32, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(32, 3), jnp.float32)
+        line = A.interpolate(model, ae_vars, x, y, steps=3)
+        assert line.shape == (5, 32, 3)
+        zx = A.transform(model, ae_vars, x[None])
+        np.testing.assert_allclose(
+            np.asarray(line[0]), np.asarray(A.decode(model, ae_vars, zx))[0],
+            atol=1e-5)
+
+    def test_match_samples_identity(self):
+        from samplenet_tpu.models import ae_analysis as A
+        rng = np.random.RandomState(1)
+        s = jnp.asarray(rng.randn(1, 16, 3), jnp.float32)
+        matched = A.match_samples(s, s)
+        np.testing.assert_allclose(np.asarray(matched), np.asarray(s), atol=1e-5)
+
+    def test_interpolate_samples_shape(self):
+        from samplenet_tpu.models import ae_analysis as A
+        rng = np.random.RandomState(2)
+        s1 = jnp.asarray(rng.randn(16, 3), jnp.float32)
+        s2 = jnp.asarray(rng.randn(16, 3), jnp.float32)
+        out = A.interpolate_samples(s1, s2, steps=2)
+        assert out.shape == (4, 16, 3)
+        np.testing.assert_allclose(np.asarray(out[-1]), np.asarray(s2), atol=1e-6)
+
+    def test_critical_idx_shape(self, ae):
+        from samplenet_tpu.models import ae_analysis as A
+        model, ae_vars = ae
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 32, 3), jnp.float32)
+        idx = A.critical_idx(model, ae_vars, x)
+        assert idx.shape == (2, 16)
+        assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 32).all()
+
+    def test_reconstructions_from_sampled(self, ae):
+        from samplenet_tpu.models import ae_analysis as A
+        model, ae_vars = ae
+        sampled = np.random.RandomState(4).randn(6, 32, 3).astype(np.float32)
+        recon = A.reconstructions_from_sampled(model, ae_vars, sampled,
+                                               batch_size=4)
+        assert recon.shape == (6, 32, 3)
+
+
+class TestNonSampled:
+    def test_complement(self):
+        from samplenet_tpu.ops import non_sampled
+        idx = jnp.asarray([[1, 3], [0, 5]], jnp.int32)
+        comp = np.asarray(non_sampled(6, idx))
+        np.testing.assert_array_equal(comp[0], [0, 2, 4, 5])
+        np.testing.assert_array_equal(comp[1], [1, 2, 3, 4])

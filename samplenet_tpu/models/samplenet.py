@@ -57,19 +57,20 @@ class SimplificationNet(nn.Module):
     fc_widths: tuple = (256, 256, 256)
     fc_bn: bool = True
     bn_momentum: float = 0.9
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         feats = PointMLP(
             features=(*self.conv_widths, self.bottleneck_size), name="convs",
-            bn_momentum=self.bn_momentum,
+            bn_momentum=self.bn_momentum, dtype=self.dtype,
         )(x, training=training)
         global_feat = jnp.max(feats, axis=1)  # [B, bottleneck]
         y = MLPHead(features=self.fc_widths, use_bn=self.fc_bn, name="fcs",
-                    bn_momentum=self.bn_momentum,
+                    bn_momentum=self.bn_momentum, dtype=self.dtype,
                     activate_final=True)(global_feat, training=training)
         y = nn.Dense(3 * self.num_out_points, name="out")(y)
-        return y.reshape(-1, self.num_out_points, 3)
+        return y.reshape(-1, self.num_out_points, 3).astype(jnp.float32)
 
 
 class SampleNet(nn.Module):
@@ -97,6 +98,7 @@ class SampleNet(nn.Module):
     fc_bn: bool = True
     use_pallas: bool = False
     bn_momentum: float = 0.9
+    dtype: Any = None
 
     def setup(self):
         if self.input_shape not in ("bnc", "bcn"):
@@ -110,6 +112,7 @@ class SampleNet(nn.Module):
             fc_widths=self.fc_widths,
             fc_bn=self.fc_bn,
             bn_momentum=self.bn_momentum,
+            dtype=self.dtype,
         )
         self.project = SoftProjection(
             group_size=self.group_size,

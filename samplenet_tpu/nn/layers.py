@@ -12,6 +12,7 @@ im2col or layout games.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -29,12 +30,15 @@ class PointMLP(nn.Module):
     use_bn: bool = True
     bn_momentum: float = 0.9
     activate_final: bool = True
+    # compute dtype: bf16 halves MXU time; params stay f32 (flax casts
+    # activations/weights per-op and accumulates in f32 via XLA defaults)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
             is_last = i == n - 1
             if self.use_bn and (self.activate_final or not is_last):
                 x = nn.BatchNorm(
@@ -42,6 +46,7 @@ class PointMLP(nn.Module):
                     momentum=self.bn_momentum,
                     axis_name=None,
                     name=f"bn_{i}",
+                    dtype=self.dtype,
                 )(x)
             if self.activate_final or not is_last:
                 x = nn.relu(x)
@@ -61,12 +66,13 @@ class MLPHead(nn.Module):
     bn_momentum: float = 0.9
     activate_final: bool = False
     dropout_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
             is_last = i == n - 1
             if not is_last or self.activate_final:
                 if self.use_bn:
@@ -74,6 +80,7 @@ class MLPHead(nn.Module):
                         use_running_average=not training,
                         momentum=self.bn_momentum,
                         name=f"bn_{i}",
+                        dtype=self.dtype,
                     )(x)
                 x = nn.relu(x)
                 if self.dropout_rate > 0.0:

@@ -6,3 +6,7 @@ from samplenet_tpu.ops.pallas.chamfer_kernel import (  # noqa: F401
     nn_direction,
     nn_distance_pallas,
 )
+from samplenet_tpu.ops.pallas.fps_kernel import (  # noqa: F401
+    farthest_point_sample_pallas,
+    fps_from_given_pallas,
+)

@@ -113,3 +113,45 @@ class TestChamferKernel:
         d1, i1, _, _ = nn_distance_pallas(x, x, interpret=True)
         np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(i1)[0], np.arange(128))
+
+
+class TestFPSKernel:
+    def test_plain_matches_xla(self):
+        from samplenet_tpu.ops.fps import farthest_point_sample
+        from samplenet_tpu.ops.pallas import farthest_point_sample_pallas
+        rng = np.random.RandomState(7)
+        pts = jnp.asarray(rng.randn(4, 200, 3), jnp.float32)
+        got = farthest_point_sample_pallas(16, pts, interpret=True)
+        exp = farthest_point_sample(16, pts)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_random_start(self):
+        from samplenet_tpu.ops.fps import farthest_point_sample
+        from samplenet_tpu.ops.pallas import farthest_point_sample_pallas
+        rng = np.random.RandomState(8)
+        pts = jnp.asarray(rng.randn(3, 100, 3), jnp.float32)
+        start = jnp.asarray([5, 17, 99], jnp.int32)
+        got = farthest_point_sample_pallas(8, pts, start_idx=start,
+                                           interpret=True)
+        exp = farthest_point_sample(8, pts, start_idx=start)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_seeded_matches_xla(self):
+        from samplenet_tpu.ops.fps import fps_from_given
+        from samplenet_tpu.ops.pallas import fps_from_given_pallas
+        rng = np.random.RandomState(9)
+        pts = jnp.asarray(rng.randn(5, 150, 3), jnp.float32)
+        given = jnp.asarray(rng.randint(0, 150, (5, 12)), jnp.int32)
+        count = jnp.asarray([1, 4, 12, 2, 7], jnp.int32)
+        got = fps_from_given_pallas(12, pts, given, count, interpret=True)
+        exp = fps_from_given(12, pts, given, count)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+    def test_batch_padding(self):
+        from samplenet_tpu.ops.fps import farthest_point_sample
+        from samplenet_tpu.ops.pallas import farthest_point_sample_pallas
+        rng = np.random.RandomState(10)
+        pts = jnp.asarray(rng.randn(5, 64, 3), jnp.float32)  # 5 % block != 0
+        got = farthest_point_sample_pallas(8, pts, block_b=4, interpret=True)
+        exp = farthest_point_sample(8, pts)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))

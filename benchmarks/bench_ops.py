@@ -15,6 +15,11 @@ import argparse
 import json
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def timeit(fn, *args, iters: int = 20) -> float:
     """Returns ms/call with pipelined dispatch + one trailing sync."""

@@ -114,3 +114,34 @@ class TestPointcloudUtils:
         plot_3d_point_cloud(pts, show=False, save_path=path)
         import os
         assert os.path.getsize(path) > 0
+
+
+class TestServing:
+    def test_batched_sampler_pads_and_slices(self):
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu.serving import BatchedSampler
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        rng = np.random.RandomState(0)
+        x = rng.randn(4, 64, 3).astype(np.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(x), training=False)
+        sampler = BatchedSampler(net, v, max_batch=4, num_points=64)
+        out3 = sampler(x[:3])          # padded path
+        assert out3.shape == (3, 8, 3)
+        out9 = sampler(np.concatenate([x, x, x[:1]]))  # multi-chunk path
+        assert out9.shape == (9, 8, 3)
+        # deterministic across padding: same cloud -> same sample
+        np.testing.assert_allclose(out3[0], sampler(x[:1])[0], atol=1e-6)
+
+    def test_stablehlo_roundtrip(self):
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu import serving
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x, training=False)
+        blob = serving.export_stablehlo(net, v, batch=2, num_points=64)
+        assert len(blob) > 1000
+        fn = serving.load_stablehlo(blob)
+        out = fn(v, x)
+        exp = net.apply(v, x, training=False)[1]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=1e-5)

@@ -155,3 +155,18 @@ class TestFPSKernel:
         got = farthest_point_sample_pallas(8, pts, block_b=4, interpret=True)
         exp = farthest_point_sample(8, pts)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+class TestFusedEncoder:
+    def test_matches_xla_with_bn_folding(self):
+        from samplenet_tpu.nn.layers import PointMLP
+        from samplenet_tpu.ops.pallas import fold_bn_params, fused_point_encoder
+        mlp = PointMLP(features=(16, 32, 32))
+        x = jnp.asarray(np.random.RandomState(11).randn(3, 100, 3), jnp.float32)
+        v = mlp.init(jax.random.PRNGKey(0), x, training=False)
+        folded = tuple(fold_bn_params(v["params"], 3,
+                                      batch_stats=v["batch_stats"]))
+        got = fused_point_encoder(x, folded, block_b=2, interpret=True)
+        exp = jnp.max(mlp.apply(v, x, training=False), axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=1e-4, atol=1e-5)

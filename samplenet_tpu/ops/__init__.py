@@ -20,6 +20,7 @@ from samplenet_tpu.ops.knn import (  # noqa: F401
     knn_point,
     group_point,
     query_ball_point,
+    select_top_k,
 )
 from samplenet_tpu.ops.fps import (  # noqa: F401
     farthest_point_sample,

@@ -83,3 +83,19 @@ def query_ball_point(
     pos = jax.lax.broadcasted_iota(jnp.int32, idx_sorted.shape, 2)
     idx = jnp.where(pos < cnt_clip[..., None], idx_sorted, first)
     return idx, jnp.minimum(pts_cnt, nsample)
+
+
+def select_top_k(k: int, dist: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """k smallest entries per row of a full distance matrix, ascending
+    (`SelectionSort` op contract, classification/grouping/tf_grouping.cpp:32-38
+    — the reference sorts the whole [B, M, N] matrix; top_k suffices for the
+    k prefix every caller actually uses).
+
+    Args:
+      dist: [B, M, N] distances.
+
+    Returns:
+      (values [B, M, k] ascending, idx [B, M, k] int32).
+    """
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx.astype(jnp.int32)

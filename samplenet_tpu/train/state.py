@@ -68,7 +68,14 @@ def staircase_lr(
     return lambda count: jax.numpy.maximum(sched(count), floor)
 
 
-def adam_with_schedule(schedule: optax.Schedule) -> optax.GradientTransformation:
+def adam_with_schedule(
+    schedule: optax.Schedule, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
+    """Adam, optionally with decoupled weight decay (the reference's
+    optional regularisation losses, reconstruction/src/pointnet_ae.py:135-141
+    / w_reg_alpha, as an optimizer-side equivalent)."""
+    if weight_decay > 0.0:
+        return optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
     return optax.adam(learning_rate=schedule)
 
 

@@ -238,3 +238,14 @@ class TestApproxMatch:
         simp = pc[:, [4, 9, 2, 30]]
         out = np.asarray(ops.emd_matching(pc, jnp.asarray(simp)))
         np.testing.assert_allclose(out, simp, atol=1e-5)
+
+
+class TestSelectTopK:
+    def test_matches_sort(self):
+        rng = np.random.RandomState(20)
+        dist = rng.rand(2, 5, 16).astype(np.float32)
+        vals, idx = ops.select_top_k(4, jnp.asarray(dist))
+        exp = np.sort(dist, axis=-1)[..., :4]
+        np.testing.assert_allclose(np.asarray(vals), exp, atol=1e-6)
+        gathered = np.take_along_axis(dist, np.asarray(idx), axis=-1)
+        np.testing.assert_allclose(gathered, exp, atol=1e-6)

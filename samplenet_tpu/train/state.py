@@ -110,3 +110,13 @@ def scheduled_bn_update(old_stats, batch_stats, decay: jax.Array):
         lambda old, new: decay * old + (1.0 - decay) * new,
         old_stats, batch_stats,
     )
+
+
+def with_nonfinite_guard(
+    tx: optax.GradientTransformation, max_consecutive_errors: int = 5
+) -> optax.GradientTransformation:
+    """Skip optimiser updates whose gradients contain NaN/inf instead of
+    poisoning the params — production fault containment the reference lacks
+    (SURVEY.md §5: no failure detection). After `max_consecutive_errors`
+    non-finite steps in a row the error propagates (real divergence)."""
+    return optax.apply_if_finite(tx, max_consecutive_errors)

@@ -128,3 +128,36 @@ class TestDataParallelLoop:
                 epochs=1, logger=Logger(None), rng=jax.random.PRNGKey(2),
                 mesh=mesh)
         assert int(state.step) == 2  # 16 clouds / batch 8
+
+
+class TestInputPipeline:
+    def test_global_batches_sharded(self):
+        from samplenet_tpu.parallel.input_pipeline import global_batches
+        from jax.sharding import PartitionSpec as P
+        mesh = make_mesh()
+        data = np.random.RandomState(0).randn(32, 16, 3).astype(np.float32)
+        labels = np.arange(32, dtype=np.int32)
+        batches = list(global_batches(mesh, data, labels, 16, shuffle=False))
+        assert len(batches) == 2
+        bx, by = batches[0]
+        assert bx.shape == (16, 16, 3)
+        assert bx.sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(by), labels[:16])
+
+
+class TestNonfiniteGuard:
+    def test_skips_nan_updates(self):
+        import optax
+        from samplenet_tpu.train.state import TrainState, with_nonfinite_guard
+        import jax.numpy as jnp
+        tx = with_nonfinite_guard(optax.sgd(0.1))
+        state = TrainState.create(params={"w": jnp.ones(3)}, batch_stats={},
+                                  tx=tx)
+        good = {"w": jnp.ones(3)}
+        bad = {"w": jnp.asarray([jnp.nan, 1.0, 1.0])}
+        s1 = state.apply_gradients(bad)
+        np.testing.assert_allclose(np.asarray(s1.params["w"]),
+                                   np.ones(3))  # update skipped
+        s2 = s1.apply_gradients(good)
+        np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                                   0.9 * np.ones(3))

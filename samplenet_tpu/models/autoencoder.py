@@ -76,3 +76,25 @@ def ae_per_cloud_chamfer(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
     """[B] per-cloud chamfer (autoencoder.py nn_distance, used for NRE)."""
     c12, _, c21, _ = nn_distance(x_reconstr, gt)
     return jnp.mean(c12, axis=1) + jnp.mean(c21, axis=1)
+
+
+class ConvDecoder(nn.Module):
+    """Per-point conv (1x1) decoder variant
+    (reconstruction/src/encoders_decoders.py:260+ decoder_with_convs_only):
+    the latent is broadcast to `num_output_points` slots and refined by a
+    per-point MLP ending in 3 coordinates. Library-surface parity; the
+    canonical AE uses the FC decoder."""
+
+    num_output_points: int
+    widths: tuple = (256, 128)
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, z: jax.Array, training: bool = False) -> jax.Array:
+        b, d = z.shape
+        seed = nn.Dense(self.num_output_points * (d // 4), name="expand")(z)
+        x = seed.reshape(b, self.num_output_points, d // 4)
+        x = PointMLP(features=self.widths, use_bn=self.use_bn,
+                     name="convs")(x, training=training)
+        x = nn.Dense(3, name="out")(x)
+        return x

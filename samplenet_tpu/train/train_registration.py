@@ -104,7 +104,16 @@ def main(argv=None):
         pcr_vars = {"params": jax.device_get(state.params)}
         eval_step = make_eval_step(None, model, pcr_vars, cfg)
         report = evaluate(eval_step, None, test, args.batch_size)
-        logger.log(f"test: {report}")
+        logger.log(f"test (full clouds): {report}")
+        # non-learned FPS baseline sampling (registration/main.py:485-499)
+        from samplenet_tpu.models.samplenet import FPSSampler
+
+        fps = FPSSampler(num_out_points=cfg.num_out_points, permute=False)
+        fps_vars = fps.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, cfg.num_points, 3)))
+        fps_eval = make_eval_step(fps, model, pcr_vars, cfg)
+        report_fps = evaluate(fps_eval, fps_vars, test, args.batch_size)
+        logger.log(f"test (FPS-sampled {cfg.num_out_points}): {report_fps}")
         checkpoints.save(f"{log_dir}/ckpt", {"params": pcr_vars["params"]})
         logger.log(f"saved checkpoint to {log_dir}/ckpt")
         return state

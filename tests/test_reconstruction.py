@@ -189,3 +189,18 @@ class TestNonSampled:
         comp = np.asarray(non_sampled(6, idx))
         np.testing.assert_array_equal(comp[0], [0, 2, 4, 5])
         np.testing.assert_array_equal(comp[1], [1, 2, 3, 4])
+
+
+class TestConvDecoder:
+    def test_shapes_and_grads(self):
+        from samplenet_tpu.models.autoencoder import ConvDecoder
+        dec = ConvDecoder(num_output_points=32)
+        z = jnp.asarray(np.random.RandomState(5).randn(2, 16), jnp.float32)
+        v = dec.init(jax.random.PRNGKey(0), z, training=False)
+        out, _ = dec.apply(v, z, training=True, mutable=["batch_stats"])
+        assert out.shape == (2, 32, 3)
+        g = jax.grad(lambda p: jnp.sum(dec.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, z,
+            training=False) ** 2))(v["params"])
+        assert all(bool(jnp.isfinite(x).all())
+                   for x in jax.tree_util.tree_leaves(g))

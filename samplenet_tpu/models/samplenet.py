@@ -96,7 +96,7 @@ class SampleNet(nn.Module):
     conv_widths: tuple = (64, 64, 64, 128)
     fc_widths: tuple = (256, 256, 256)
     fc_bn: bool = True
-    use_pallas: bool = False
+    use_pallas: bool | None = None  # None = auto (TPU on, CPU/GPU off)
     bn_momentum: float = 0.9
     dtype: Any = None
 

@@ -15,10 +15,63 @@ via a deterministic XLA scatter-add.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from samplenet_tpu.ops.pairwise import chunked_min_argmin
+
+
+def _forward(xyz1, xyz2, chunk):
+    _, idx1 = chunked_min_argmin(xyz1, xyz2, chunk=chunk)
+    _, idx2 = chunked_min_argmin(xyz2, xyz1, chunk=chunk)
+    idx1 = jax.lax.stop_gradient(idx1)
+    idx2 = jax.lax.stop_gradient(idx2)
+    nn1 = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)  # [B, N, 3]
+    nn2 = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)  # [B, M, 3]
+    dist1 = jnp.sum((xyz1 - nn1) ** 2, axis=-1)
+    dist2 = jnp.sum((xyz2 - nn2) ** 2, axis=-1)
+    return dist1, idx1, dist2, idx2
+
+
+def _scatter_rows(idx: jax.Array, vals: jax.Array, out_rows: int) -> jax.Array:
+    """sum_i onehot(idx[b,i]) * vals[b,i,:] -> [B, out_rows, 3].
+
+    TPU scatter-add is serialized and dominates the naive chamfer backward
+    (24 ms vs a 1.2 ms forward at [1024, 1024<->32]); formulating the
+    scatter as a one-hot matmul puts it on the MXU instead.
+    """
+    onehot = (idx[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, out_rows), 2)).astype(vals.dtype)
+    return jnp.einsum("bnm,bnc->bmc", onehot, vals,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _nn_distance_vjp(xyz1, xyz2, chunk):
+    return _forward(xyz1, xyz2, chunk)
+
+
+def _nn_distance_fwd(xyz1, xyz2, chunk):
+    out = _forward(xyz1, xyz2, chunk)
+    _, idx1, _, idx2 = out
+    return out, (xyz1, xyz2, idx1, idx2)
+
+
+def _nn_distance_bwd(chunk, residuals, cotangents):
+    xyz1, xyz2, idx1, idx2 = residuals
+    g1, _, g2, _ = cotangents  # index cotangents are symbolic zeros
+    nn1 = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)
+    nn2 = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)
+    v1 = 2.0 * g1[..., None] * (xyz1 - nn1)          # [B, N, 3]
+    v2 = 2.0 * g2[..., None] * (xyz2 - nn2)          # [B, M, 3]
+    dx1 = v1 - _scatter_rows(idx2, v2, xyz1.shape[1])
+    dx2 = v2 - _scatter_rows(idx1, v1, xyz2.shape[1])
+    return dx1, dx2
+
+
+_nn_distance_vjp.defvjp(_nn_distance_fwd, _nn_distance_bwd)
 
 
 def nn_distance(
@@ -36,17 +89,11 @@ def nn_distance(
         idx1  [B, N] int32 index of that neighbour in xyz2;
         dist2/idx2 the reverse direction.
 
-    Differentiable in xyz1 and xyz2; indices are non-differentiable.
+    Differentiable in xyz1 and xyz2 (custom VJP: the +-2g(x-y) pull/push of
+    the reference's NnDistanceGrad, with the scatter side expressed as a
+    one-hot matmul); indices are non-differentiable.
     """
-    _, idx1 = chunked_min_argmin(xyz1, xyz2, chunk=chunk)
-    _, idx2 = chunked_min_argmin(xyz2, xyz1, chunk=chunk)
-    idx1 = jax.lax.stop_gradient(idx1)
-    idx2 = jax.lax.stop_gradient(idx2)
-    nn1 = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)  # [B, N, 3]
-    nn2 = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)  # [B, M, 3]
-    dist1 = jnp.sum((xyz1 - nn1) ** 2, axis=-1)
-    dist2 = jnp.sum((xyz2 - nn2) ** 2, axis=-1)
-    return dist1, idx1, dist2, idx2
+    return _nn_distance_vjp(jnp.asarray(xyz1), jnp.asarray(xyz2), chunk)
 
 
 def chamfer_distance(

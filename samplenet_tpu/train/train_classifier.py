@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=0.001)
     p.add_argument("--use-tnets", action="store_true")
+    p.add_argument("--bn-schedule", action="store_true",
+                   help="TF-style scheduled BN decay 0.5->0.99")
     p.add_argument("--train-size", type=int, default=2000,
                    help="procedural dataset size")
     p.add_argument("--test-size", type=int, default=400)
@@ -70,6 +72,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         learning_rate=args.learning_rate,
         use_tnets=args.use_tnets,
+        bn_schedule=args.bn_schedule,
     )
     rng = jax.random.PRNGKey(args.seed)
     model, state = create_classifier_state(cfg, rng)

@@ -1,0 +1,99 @@
+"""CLI smoke tests: every training entry point runs end-to-end (tiny shapes,
+CPU) — the pipeline-level regression net the reference only had as shell
+scripts."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_classifier_then_samplenet_then_eval(tdir):
+    from samplenet_tpu.train import train_classifier, train_samplenet
+    from samplenet_tpu.train import evaluate_cli
+
+    train_classifier.main([
+        "--epochs", "1", "--steps-per-epoch", "2", "--train-size", "16",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--log-dir", f"{tdir}/cls"])
+    train_samplenet.main([
+        "--epochs", "1", "--steps-per-epoch", "2", "--train-size", "16",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--num-out-points", "8", "--bottleneck-size", "32",
+        "--group-size", "4", "--classifier-ckpt", f"{tdir}/cls/ckpt",
+        "--log-dir", f"{tdir}/sn"])
+    report = evaluate_cli.main([
+        "samplenet", "--ckpt", f"{tdir}/sn/ckpt",
+        "--classifier-ckpt", f"{tdir}/cls/ckpt",
+        "--num-out-points", "8", "--bottleneck-size", "32",
+        "--group-size", "4", "--num-points", "64", "--batch-size", "4",
+        "--test-size", "8", "--log-dir", f"{tdir}/eval"])
+    assert 0.0 <= report["accuracy"] <= 1.0
+    assert os.path.isdir(f"{tdir}/sn/snap_last")
+
+
+def test_samplenet_resume(tdir):
+    from samplenet_tpu.train import train_classifier, train_samplenet
+
+    train_classifier.main([
+        "--epochs", "1", "--steps-per-epoch", "1", "--train-size", "8",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--log-dir", f"{tdir}/cls"])
+    args = ["--steps-per-epoch", "1", "--train-size", "8",
+            "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+            "--num-out-points", "8", "--bottleneck-size", "32",
+            "--group-size", "4", "--classifier-ckpt", f"{tdir}/cls/ckpt",
+            "--log-dir", f"{tdir}/sn"]
+    train_samplenet.main(["--epochs", "1"] + args)
+    state = train_samplenet.main(["--epochs", "2", "--resume"] + args)
+    assert int(state.step) == 2  # one step epoch 0 + one step epoch 1
+
+
+def test_registration_both_phases(tdir):
+    from samplenet_tpu.train import train_registration
+
+    train_registration.main([
+        "--phase", "pcrnet", "--epochs", "1", "--steps-per-epoch", "1",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--num-out-points", "8",
+        "--log-dir", f"{tdir}/pcr"])
+    train_registration.main([
+        "--phase", "samplenet", "--epochs", "1", "--steps-per-epoch", "1",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--num-out-points", "8", "--group-size", "4",
+        "--pcrnet-ckpt", f"{tdir}/pcr/ckpt", "--log-dir", f"{tdir}/regsn"])
+
+
+def test_reconstruction_both_phases(tdir):
+    from samplenet_tpu.train import train_reconstruction
+
+    train_reconstruction.main([
+        "--phase", "ae", "--epochs", "1", "--steps-per-epoch", "1",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--bottleneck-size", "32",
+        "--log-dir", f"{tdir}/ae"])
+    train_reconstruction.main([
+        "--phase", "samplenet", "--epochs", "1", "--steps-per-epoch", "1",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--num-out-points", "8", "--group-size", "4",
+        "--ae-ckpt", f"{tdir}/ae/ckpt", "--log-dir", f"{tdir}/aesn"])
+
+
+def test_progressive_cli(tdir):
+    from samplenet_tpu.train import train_classifier, train_progressive
+
+    train_classifier.main([
+        "--epochs", "1", "--steps-per-epoch", "1", "--train-size", "8",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--log-dir", f"{tdir}/cls"])
+    train_progressive.main([
+        "--epochs", "1", "--steps-per-epoch", "1", "--train-size", "8",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--max-num-out-points", "16", "--min-num-out-points", "8",
+        "--bottleneck-size", "32", "--group-size", "4",
+        "--classifier-ckpt", f"{tdir}/cls/ckpt",
+        "--log-dir", f"{tdir}/prog"])

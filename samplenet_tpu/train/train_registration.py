@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--group-size", type=int, default=8)
     p.add_argument("--num-sampled-clouds", type=int, default=2, choices=[1, 2])
     p.add_argument("--apply-noise", action="store_true")
+    p.add_argument("--category", type=int, default=None,
+                   help="restrict to one procedural class (the reference "
+                        "trains registration on the ModelNet 'car' subset)")
     p.add_argument("--pcrnet-ckpt", default="log/pcrnet/ckpt")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -55,8 +58,19 @@ def build_datasets(args):
     """Procedural clouds under fixed random rotations (the car-subset h5 of
     the reference, registration/data/create_dataset_torch.py, is download-
     gated; any [M, N, 3] array feeds QuaternionFixedDataset)."""
-    base_train, _ = make_dataset(args.train_size, args.num_points, seed=args.seed)
-    base_test, _ = make_dataset(args.test_size, args.num_points, seed=args.seed + 1)
+    if args.category is not None:
+        # over-generate then filter to one shape class (car-subset analogue)
+        d, l = make_dataset(args.train_size * 12, args.num_points,
+                            seed=args.seed)
+        base_train = d[l == args.category][: args.train_size]
+        d, l = make_dataset(args.test_size * 12, args.num_points,
+                            seed=args.seed + 1)
+        base_test = d[l == args.category][: args.test_size]
+    else:
+        base_train, _ = make_dataset(args.train_size, args.num_points,
+                                     seed=args.seed)
+        base_test, _ = make_dataset(args.test_size, args.num_points,
+                                    seed=args.seed + 1)
     train = QuaternionFixedDataset(base_train, repeat=args.repeat, seed=0,
                                    apply_noise=args.apply_noise)
     test = QuaternionFixedDataset(base_test, repeat=1, seed=1,

@@ -249,3 +249,17 @@ class TestSelectTopK:
         np.testing.assert_allclose(np.asarray(vals), exp, atol=1e-6)
         gathered = np.take_along_axis(dist, np.asarray(idx), axis=-1)
         np.testing.assert_allclose(gathered, exp, atol=1e-6)
+
+
+class TestApproxMatchFastMath:
+    def test_marginals_and_cost_close_to_f32(self):
+        rng = np.random.RandomState(21)
+        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
+        m32 = ops.approx_match(x, y)
+        m16 = ops.approx_match(x, y, fast_math=True)
+        np.testing.assert_allclose(np.asarray(m16.sum(2)),
+                                   np.asarray(m32.sum(2)), atol=2e-2)
+        c32 = ops.match_cost(x, y, m32)
+        c16 = ops.match_cost(x, y, m16)
+        np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), rtol=5e-3)

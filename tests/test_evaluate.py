@@ -145,3 +145,26 @@ class TestServing:
         out = fn(v, x)
         exp = net.apply(v, x, training=False)[1]
         np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=1e-5)
+
+
+class TestProfiling:
+    def test_trace_writes_files(self, tmp_path):
+        from samplenet_tpu.utils.profiling import StepTimer, trace
+        import jax.numpy as jnp
+        with trace(str(tmp_path)):
+            x = jnp.ones((64, 64))
+            (x @ x).block_until_ready()
+        import os
+        found = []
+        for root, _, files in os.walk(str(tmp_path)):
+            found.extend(files)
+        assert found, "no trace files written"
+
+    def test_step_timer(self):
+        from samplenet_tpu.utils.profiling import StepTimer
+        import jax.numpy as jnp
+        t = StepTimer()
+        for _ in range(3):
+            dt = t.mark(jnp.ones(4))
+            assert dt >= 0
+        assert t.ema_ms is not None

@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--lmbda", type=float, default=0.0001)
     p.add_argument("--ae-ckpt", default="log/ae/ckpt")
+    p.add_argument("--progressive", action="store_true",
+                   help="nested-size sampler training: one checkpoint "
+                        "serves every ratio (samplenet_progressive_"
+                        "pointnet_ae pipeline)")
+    p.add_argument("--min-num-out-points", type=int, default=16)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -113,9 +118,26 @@ def main(argv=None):
         alpha=args.alpha, lmbda=args.lmbda,
         batch_size=args.batch_size,
     )
-    sampler, state = create_sampler_ae_state(scfg, args.num_points, rng)
-    step = make_sampler_ae_train_step(sampler, ae, ae_vars, scfg,
-                                      ae_loss=str(ae_ckpt["config"]["loss"]))
+    if args.progressive:
+        from samplenet_tpu.train.progressive import (
+            ProgressiveAEConfig,
+            make_progressive_ae_train_step,
+        )
+
+        pcfg = ProgressiveAEConfig(
+            max_num_out_points=args.num_out_points,
+            min_num_out_points=args.min_num_out_points,
+            group_size=args.group_size,
+            alpha=args.alpha, lmbda=args.lmbda,
+            batch_size=args.batch_size,
+        )
+        sampler, state = create_sampler_ae_state(scfg, args.num_points, rng)
+        step = make_progressive_ae_train_step(sampler, ae, ae_vars, pcfg)
+        logger.log(f"progressive AE sizes {pcfg.sizes}")
+    else:
+        sampler, state = create_sampler_ae_state(scfg, args.num_points, rng)
+        step = make_sampler_ae_train_step(
+            sampler, ae, ae_vars, scfg, ae_loss=str(ae_ckpt["config"]["loss"]))
     eval_step = make_sampler_ae_eval_step(sampler, ae, ae_vars)
     for epoch in range(args.epochs):
         agg: dict[str, list] = {}

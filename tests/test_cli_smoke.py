@@ -97,3 +97,20 @@ def test_progressive_cli(tdir):
         "--bottleneck-size", "32", "--group-size", "4",
         "--classifier-ckpt", f"{tdir}/cls/ckpt",
         "--log-dir", f"{tdir}/prog"])
+
+
+def test_reconstruction_progressive(tdir):
+    from samplenet_tpu.train import train_reconstruction
+
+    train_reconstruction.main([
+        "--phase", "ae", "--epochs", "1", "--steps-per-epoch", "1",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--bottleneck-size", "32",
+        "--log-dir", f"{tdir}/ae"])
+    train_reconstruction.main([
+        "--phase", "samplenet", "--progressive", "--epochs", "1",
+        "--steps-per-epoch", "1", "--train-size", "8", "--test-size", "8",
+        "--batch-size", "4", "--num-points", "64",
+        "--num-out-points", "16", "--min-num-out-points", "8",
+        "--group-size", "4", "--ae-ckpt", f"{tdir}/ae/ckpt",
+        "--log-dir", f"{tdir}/aesnp"])

@@ -170,8 +170,16 @@ def nn_match_from_clouds(
 
 
 def emd_matching(full_pc: jax.Array, simplified: jax.Array) -> jax.Array:
-    """EMD-based hard matching (classification/models/samplenet_model.py:152-168):
-    each simplified point takes the full-cloud point with max match weight.
+    """EMD-based hard matching: each simplified point takes the full-cloud
+    point with maximal transport weight.
+
+    Deliberate deviation: the reference
+    (classification/models/samplenet_model.py:152-168) argmaxes the match
+    matrix over axis=2 (the generated cloud) and then indexes the FULL cloud
+    with those generated-cloud indices — which selects from the first m
+    points of the full cloud regardless of geometry. Here the argmax runs
+    over the full-cloud axis, which is the evident intent (transport each
+    generated point to its strongest full-cloud partner).
 
     Returns [B, m, 3] matched points.
     """

@@ -60,7 +60,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
-    iters = 8 if args.quick else 24
+    # deep pipelines: ~33 ms tunnel round-trip amortises over iters
+    iters = 24 if args.quick else 64
     rng = np.random.RandomState(0)
     device = str(jax.devices()[0])
 
@@ -104,7 +105,7 @@ def main() -> None:
                                tx=optax.identity())
     infer = make_progressive_infer_step(prog, 1024)
     dt = pipeline_time(lambda x: infer(pstate, x)[3], [(x,) for x in xs],
-                       max(iters // 3, 4))
+                       max(iters // 3, 8))
     report("3:progressive_infer_1024", "ordered infer (4 outputs)",
            b / dt, "clouds/sec")
 

@@ -86,8 +86,11 @@ def load_split(data_dir: str, split: str) -> tuple[np.ndarray, np.ndarray]:
     files = get_data_files(os.path.join(root, f"{split}_files.txt"))
     datas, labels = [], []
     for fn in files:
-        d, l = load_h5(os.path.join(os.path.dirname(root), os.path.basename(fn))
-                       if fn.startswith("data/") else fn)
+        # list entries look like "data/modelnet40_ply_hdf5_2048/ply_data_*.h5";
+        # resolve the basename against the dataset root itself
+        path = fn if os.path.isabs(fn) else os.path.join(
+            root, os.path.basename(fn))
+        d, l = load_h5(path)
         datas.append(d)
         labels.append(l)
     return np.concatenate(datas), np.concatenate(labels)

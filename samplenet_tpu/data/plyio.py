@@ -46,11 +46,16 @@ def load_ply(path: str) -> np.ndarray:
                 break
 
         vertex = None
-        for name, count, props in elements:
+        for ei, (name, count, props) in enumerate(elements):
             if name == "vertex":
+                if ei != 0:
+                    # data for earlier elements precedes the vertex block;
+                    # parsing it as vertices would silently return garbage
+                    raise ValueError(
+                        f"{path}: vertex is not the first element "
+                        f"(preceded by {elements[0][0]!r}); unsupported")
                 vertex = (count, props)
                 break
-            # skip preceding elements (none in practice for vertex-first files)
         if vertex is None:
             raise ValueError(f"{path}: no vertex element")
         count, props = vertex

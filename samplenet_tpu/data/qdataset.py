@@ -10,9 +10,20 @@ from __future__ import annotations
 
 import numpy as np
 
+import numpy as _np
+
 from samplenet_tpu.geometry import transforms as T
-from samplenet_tpu.geometry.quaternion import qrot
-import jax.numpy as jnp
+
+
+def _qrot_np(q: _np.ndarray, v: _np.ndarray) -> _np.ndarray:
+    """Numpy quaternion rotation (wxyz) — the per-sample __getitem__ path
+    must not dispatch device ops (each jnp call costs a ~33 ms tunnel round
+    trip here; the reference also rotates in numpy/torch on the host)."""
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = _np.cross(u, v)
+    uuv = _np.cross(u, uv)
+    return v + 2.0 * (w * uv + uuv)
 
 
 class QuaternionFixedDataset:
@@ -50,7 +61,7 @@ class QuaternionFixedDataset:
         p0 = self.data[index % self.len_data]
         twist = self.twists[index]
         q = np.broadcast_to(twist[None, :4], (p0.shape[0], 4))
-        p1 = np.asarray(qrot(jnp.asarray(q), jnp.asarray(p0)))
+        p1 = _qrot_np(q, p0)
         if self.apply_noise:
             if self.fixed_noise:
                 p1 = p1 + self.noise[index]

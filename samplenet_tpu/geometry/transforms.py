@@ -72,6 +72,13 @@ class QuaternionTransform:
             return self.rotate(p + self.trans[:, None, :])
         return self.rotate(p) + self.trans[:, None, :]
 
+    def rotation_errors(self, other: "QuaternionTransform") -> jax.Array:
+        """Per-sample PCN rotation errors [B] in radians (no batch mean) —
+        evaluation protocols need per-SAMPLE errors for precision curves;
+        batch-meaning first (compute_errors) inflates AUC near failures."""
+        dot = jnp.sum(self.quat * other.quat, axis=-1)
+        return 2.0 * jnp.arccos(jnp.clip(2.0 * dot**2 - 1.0, -1.0, 1.0))
+
     def compute_errors(
         self, other: "QuaternionTransform"
     ) -> tuple[jax.Array, jax.Array, jax.Array]:

@@ -211,7 +211,10 @@ class FPSSampler(nn.Module):
 
 
 class RandomSampler(nn.Module):
-    """Uniform random sampling baseline (registration/src/random_sampling.py)."""
+    """Uniform random sampling baseline (registration/src/random_sampling.py).
+    Samples WITHOUT replacement like the reference's randperm — with
+    replacement, ~86% of 64-of-1024 draws contain duplicates (birthday
+    bound), silently weakening the baseline."""
 
     num_out_points: int
     input_shape: str = "bnc"
@@ -222,7 +225,10 @@ class RandomSampler(nn.Module):
         x = _to_bnc(x, self.input_shape)
         b, n, _ = x.shape
         rng = self.make_rng("sampler")
-        idx = jax.random.randint(rng, (b, self.num_out_points), 0, n)
+        # per-row permutation via argsort of iid uniforms
+        keys = jax.random.uniform(rng, (b, n))
+        idx = jnp.argsort(keys, axis=1)[:, : self.num_out_points].astype(
+            jnp.int32)
         y = gather_point(x, idx)
         y = _from_bnc(y, self.output_shape)
         return y, y

@@ -47,9 +47,12 @@ def fold_bn_params(params: dict, num_layers: int, *, eps: float = 1e-5,
         b = jnp.asarray(dense["bias"], jnp.float32)
         bn_key = f"bn_{i}"
         if bn_key in params:
+            if not batch_stats or bn_key not in batch_stats:
+                raise ValueError(
+                    f"folding {bn_key} requires its running batch_stats")
             gamma = jnp.asarray(params[bn_key]["scale"], jnp.float32)
             beta = jnp.asarray(params[bn_key]["bias"], jnp.float32)
-            stats = batch_stats[bn_key] if batch_stats else None
+            stats = batch_stats[bn_key]
             mean = jnp.asarray(stats["mean"], jnp.float32)
             var = jnp.asarray(stats["var"], jnp.float32)
             s = gamma * jax.lax.rsqrt(var + eps)

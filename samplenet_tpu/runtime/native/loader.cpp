@@ -36,7 +36,7 @@ int64_t sn_load_ply(const char* path, float* out, int64_t capacity) {
   if (!f) return 0;
 
   char line[4096];
-  bool binary = false, ok = false;
+  bool binary = false, ok = false, seen_element = false;
   int64_t count = 0;
   int n_props = 0, xyz_off[3] = {-1, -1, -1};
   std::vector<int> prop_sizes;
@@ -60,9 +60,17 @@ int64_t sn_load_ply(const char* path, float* out, int64_t capacity) {
       std::sscanf(line, "%*s %63s", b);
       binary = !std::strcmp(b, "binary_little_endian");
     } else if (!std::strcmp(a, "element")) {
-      std::sscanf(line, "%*s %63s %ld", b, &count);
+      long element_count = 0;
+      std::sscanf(line, "%*s %63s %ld", b, &element_count);
       in_vertex = !std::strcmp(b, "vertex");
-      if (!in_vertex && ok) break;  // vertex parsed spec complete
+      if (in_vertex) {
+        if (seen_element) { std::fclose(f); return 0; }  // data of earlier
+        // elements precedes the vertex block; refuse rather than misparse
+        count = element_count;  // only the vertex element sets the count
+      }
+      seen_element = true;
+      // keep scanning to end_header either way: breaking early would leave
+      // the cursor inside the header and binary reads would parse text
     } else if (!std::strcmp(a, "property") && in_vertex) {
       std::sscanf(line, "%*s %63s %63s", b, c);
       int sz = prop_size(b);

@@ -169,7 +169,8 @@ def make_eval_step(
     cfg: RegistrationConfig,
 ):
     """Test protocol: hard-sample both clouds (eval mode), register, report
-    rotation error + consistency."""
+    PER-SAMPLE rotation errors (the reference evaluates at batch_size=1,
+    main.py:127 — batch-mean errors would inflate the AUC) + consistency."""
 
     @jax.jit
     def step(sampler_vars, p0, p1, igt_vec):
@@ -181,10 +182,13 @@ def make_eval_step(
                 p0s = p0
         else:
             p0s, p1s = p0, p1
-        _, info = pcrnet_losses(
-            pcrnet, pcr_vars, p0s, p1s, igt_vec, cfg.loss_type)
+        twist, _ = pcrnet.apply(pcr_vars, p0s, p1s)
+        est = QuaternionTransform(twist)
+        gt = QuaternionTransform(igt_vec)
+        rot_errs = rad_to_deg(est.rotation_errors(gt))        # [B] degrees
+        trans_err = jnp.mean(jnp.sqrt((est.trans - gt.trans) ** 2))
         consistency = sampling_consistency(p0s, p1s, igt_vec)
-        return info["rot_err_deg"], info["trans_err"], consistency
+        return rot_errs, trans_err, consistency
 
     return step
 
@@ -202,14 +206,25 @@ def precision_auc(rotation_errors_deg: np.ndarray) -> tuple[np.ndarray, float]:
 def evaluate(
     eval_step, sampler_vars, dataset, batch_size: int
 ) -> dict[str, float]:
-    rot_errs, trans_errs, consistencies = [], [], []
-    for p0, p1, twists in dataset.batches(batch_size, shuffle=False):
+    """Per-sample metric collection; the final partial batch is padded with
+    repeats (static shapes for jit) and its padding sliced off, so no test
+    sample is dropped."""
+    rot_errs, consistencies = [], []
+    total = len(dataset)
+    items = [dataset[i] for i in range(total)]
+    for s in range(0, total, batch_size):
+        chunk = items[s : s + batch_size]
+        real = len(chunk)
+        while len(chunk) < batch_size:
+            chunk.append(chunk[-1])
+        p0 = np.stack([c[0] for c in chunk])
+        p1 = np.stack([c[1] for c in chunk])
+        tw = np.stack([c[2] for c in chunk])
         r, t, c = eval_step(
-            sampler_vars, jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(twists))
-        rot_errs.append(float(r))
-        trans_errs.append(float(t))
+            sampler_vars, jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(tw))
+        rot_errs.append(np.asarray(r)[:real])
         consistencies.append(float(c))
-    rot = np.asarray(rot_errs)
+    rot = np.concatenate(rot_errs) if rot_errs else np.zeros(0)
     _, auc = precision_auc(rot)
     return {
         "rot_err_mean": float(rot.mean()) if len(rot) else float("nan"),

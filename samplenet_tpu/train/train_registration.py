@@ -101,7 +101,6 @@ def main(argv=None):
     if args.phase == "pcrnet":
         model, state = create_pcrnet_state(cfg, rng)
         step = make_pcrnet_train_step(model, cfg)
-        eval_step = make_eval_step(None, model, None, cfg)  # vars injected below
         for epoch in range(args.epochs):
             agg = []
             for bi, (p0, p1, tw) in enumerate(train.batches(

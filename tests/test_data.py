@@ -159,3 +159,21 @@ class TestProcedural:
         d, l = make_dataset(10, 16, seed=5)
         batches = list(iterate_batches(d, l, 4, shuffle=False))
         assert len(batches) == 2
+
+
+class TestModelNetSplitPaths:
+    def test_load_split_resolves_list_entries(self, tmp_path):
+        """Regression: file-list entries like 'data/<root>/x.h5' must resolve
+        inside the dataset root, not beside it."""
+        pytest.importorskip("h5py")
+        from samplenet_tpu.data.modelnet import load_split, save_h5
+        root = tmp_path / "modelnet40_ply_hdf5_2048"
+        root.mkdir()
+        data = np.random.RandomState(0).randn(4, 16, 3).astype(np.float32)
+        save_h5(str(root / "ply_data_train0.h5"), data,
+                np.arange(4, dtype=np.uint8))
+        (root / "train_files.txt").write_text(
+            "data/modelnet40_ply_hdf5_2048/ply_data_train0.h5\n")
+        d, l = load_split(str(tmp_path), "train")
+        assert d.shape == (4, 16, 3)
+        np.testing.assert_array_equal(l, np.arange(4))

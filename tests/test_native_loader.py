@@ -54,3 +54,24 @@ class TestNativePipeline:
             return points.tobytes()
         assert order(0) != order(1)
         assert order(0) == order(0)
+
+
+class TestNativePlyMultiElement:
+    def test_vertex_count_not_clobbered_by_face_element(self, tmp_path):
+        """Regression: 'element face M' after 'element vertex N' must not
+        overwrite the vertex count."""
+        pts = np.random.RandomState(0).randn(10, 3).astype(np.float32)
+        path = str(tmp_path / "vf.ply")
+        header = ("ply\nformat binary_little_endian 1.0\n"
+                  "element vertex 10\n"
+                  "property float x\nproperty float y\nproperty float z\n"
+                  "element face 25\n"
+                  "property uchar pad\n"
+                  "end_header\n")
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(pts.astype("<f4").tobytes())
+            f.write(b"\x00" * 25)
+        got = runtime.load_ply_native(path)
+        assert got.shape == (10, 3)
+        np.testing.assert_allclose(got, pts, atol=1e-6)

@@ -202,7 +202,8 @@ class TestRegistrationSteps:
         svars = {"params": sstate.params, "batch_stats": sstate.batch_stats}
         rot, trans, cons = eval_step(svars, jnp.asarray(p0), jnp.asarray(p1),
                                      jnp.asarray(tw))
-        assert np.isfinite(float(rot)) and np.isfinite(float(cons))
+        assert rot.shape == (4,)  # per-sample rotation errors
+        assert bool(jnp.isfinite(rot).all()) and np.isfinite(float(cons))
 
     def test_consistency_zero_for_perfect_sampling(self):
         """If both sampled clouds are the same points under the gt transform,

@@ -253,3 +253,15 @@ class TestBNSchedule:
         # running stats must have moved from init toward batch stats
         leaf = jax.tree_util.tree_leaves(state.batch_stats)[0]
         assert float(jnp.abs(leaf).sum()) > 0
+
+
+class TestRandomSamplerNoReplacement:
+    def test_indices_unique_per_cloud(self):
+        net = RandomSampler(num_out_points=64)
+        x = jnp.asarray(np.random.RandomState(9).randn(4, 1024, 3), jnp.float32)
+        variables = net.init({"params": jax.random.PRNGKey(0),
+                              "sampler": jax.random.PRNGKey(1)}, x)
+        y, _ = net.apply(variables, x, rngs={"sampler": jax.random.PRNGKey(2)})
+        ys = np.asarray(y)
+        for b in range(4):
+            assert len(np.unique(ys[b], axis=0)) == 64  # no duplicates

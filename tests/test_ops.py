@@ -263,3 +263,34 @@ class TestApproxMatchFastMath:
         c32 = ops.match_cost(x, y, m32)
         c16 = ops.match_cost(x, y, m16)
         np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), rtol=5e-3)
+
+
+class TestDeterminism:
+    def test_chamfer_gradients_bitwise_deterministic(self):
+        """The reference's CUDA grads use atomicAdd (order-nondeterministic);
+        our matmul-scatter VJP must be bit-identical across runs."""
+        rng = np.random.RandomState(30)
+        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(2, 48, 3), jnp.float32)
+
+        @jax.jit
+        def g(x, y):
+            return jax.grad(
+                lambda a, b: jnp.sum(ops.nn_distance(a, b)[0])
+                + jnp.sum(ops.nn_distance(a, b)[2]), argnums=(0, 1))(x, y)
+
+        gx1, gy1 = g(x, y)
+        gx2, gy2 = g(x, y)
+        assert np.asarray(gx1).tobytes() == np.asarray(gx2).tobytes()
+        assert np.asarray(gy1).tobytes() == np.asarray(gy2).tobytes()
+
+    def test_group_point_grad_deterministic(self):
+        rng = np.random.RandomState(31)
+        y = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
+        idx = jnp.asarray(rng.randint(0, 32, (2, 16, 4)), jnp.int32)
+
+        @jax.jit
+        def g(y):
+            return jax.grad(lambda p: jnp.sum(ops.group_point(p, idx) ** 2))(y)
+
+        assert np.asarray(g(y)).tobytes() == np.asarray(g(y)).tobytes()

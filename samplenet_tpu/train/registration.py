@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from samplenet_tpu.geometry.quaternion import qmul, qrot
 from samplenet_tpu.geometry.transforms import QuaternionTransform, rad_to_deg
 from samplenet_tpu.models.pcrnet import PCRNet
 from samplenet_tpu.models.samplenet import SampleNet
@@ -164,9 +165,30 @@ def make_sampler_train_step(
     return step
 
 
+def register_iterative(
+    pcrnet: PCRNet, pcr_vars: dict, p0: jax.Array, p1: jax.Array,
+    iterations: int = 1,
+) -> QuaternionTransform:
+    """Iteratively refined registration (the original PCRNet protocol; the
+    reference applies a single pass). Each pass registers the transformed
+    template against the source and composes the estimates."""
+    b = p0.shape[0]
+    q_total = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (b, 1))
+    t_total = jnp.zeros((b, 3), jnp.float32)
+    p0_cur = p0
+    for _ in range(iterations):
+        twist, _ = pcrnet.apply(pcr_vars, p0_cur, p1)
+        est = QuaternionTransform(twist)
+        p0_cur = est.apply(p0_cur)
+        # compose: new transform acts after the accumulated one
+        q_total = qmul(est.quat, q_total)
+        t_total = qrot(est.quat, t_total) + est.trans
+    return QuaternionTransform(jnp.concatenate([q_total, t_total], axis=-1))
+
+
 def make_eval_step(
     sampler: SampleNet | None, pcrnet: PCRNet, pcr_vars: dict,
-    cfg: RegistrationConfig,
+    cfg: RegistrationConfig, *, iterations: int = 1,
 ):
     """Test protocol: hard-sample both clouds (eval mode), register, report
     PER-SAMPLE rotation errors (the reference evaluates at batch_size=1,
@@ -182,8 +204,7 @@ def make_eval_step(
                 p0s = p0
         else:
             p0s, p1s = p0, p1
-        twist, _ = pcrnet.apply(pcr_vars, p0s, p1s)
-        est = QuaternionTransform(twist)
+        est = register_iterative(pcrnet, pcr_vars, p0s, p1s, iterations)
         gt = QuaternionTransform(igt_vec)
         rot_errs = rad_to_deg(est.rotation_errors(gt))        # [B] degrees
         trans_err = jnp.mean(jnp.sqrt((est.trans - gt.trans) ** 2))

@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--group-size", type=int, default=8)
     p.add_argument("--num-sampled-clouds", type=int, default=2, choices=[1, 2])
     p.add_argument("--apply-noise", action="store_true")
+    p.add_argument("--iterations", type=int, default=1,
+                   help="iterative registration refinement passes at eval "
+                        "(the original PCRNet protocol; reference uses 1)")
     p.add_argument("--category", type=int, default=None,
                    help="restrict to one procedural class (the reference "
                         "trains registration on the ModelNet 'car' subset)")
@@ -115,7 +118,8 @@ def main(argv=None):
                        " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
             logger.metrics(int(state.step), **mean)
         pcr_vars = {"params": jax.device_get(state.params)}
-        eval_step = make_eval_step(None, model, pcr_vars, cfg)
+        eval_step = make_eval_step(None, model, pcr_vars, cfg,
+                                   iterations=args.iterations)
         report = evaluate(eval_step, None, test, args.batch_size)
         logger.log(f"test (full clouds): {report}")
         # non-learned FPS baseline sampling (registration/main.py:485-499)
@@ -137,7 +141,8 @@ def main(argv=None):
     pcr_vars = {"params": pcr_params}
     sampler, state = create_sampler_state(cfg, rng)
     step = make_sampler_train_step(sampler, pcrnet_model, pcr_vars, cfg)
-    eval_step = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg)
+    eval_step = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,
+                               iterations=args.iterations)
     for epoch in range(args.epochs):
         agg = []
         for bi, (p0, p1, tw) in enumerate(train.batches(

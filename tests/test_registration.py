@@ -223,3 +223,45 @@ class TestRegistrationSteps:
         assert curve[0] == pytest.approx(1 / 3)
         assert curve[-1] == pytest.approx(2 / 3)
         assert 0 < auc < 1
+
+
+class TestIterativeRegistration:
+    def test_single_iteration_matches_direct(self):
+        from samplenet_tpu.train.registration import register_iterative
+        cfg = RegistrationConfig(num_points=64, batch_size=4)
+        pcrnet, state = create_pcrnet_state(cfg, jax.random.PRNGKey(0))
+        pcr_vars = {"params": state.params}
+        rng = np.random.RandomState(20)
+        p0 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        p1 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        est1 = register_iterative(pcrnet, pcr_vars, p0, p1, 1)
+        twist, _ = pcrnet.apply(pcr_vars, p0, p1)
+        np.testing.assert_allclose(np.asarray(est1.vec[:, :4]),
+                                   np.asarray(twist[:, :4]), atol=1e-5)
+
+    def test_composition_is_unit_quaternion(self):
+        from samplenet_tpu.train.registration import register_iterative
+        cfg = RegistrationConfig(num_points=64, batch_size=4)
+        pcrnet, state = create_pcrnet_state(cfg, jax.random.PRNGKey(1))
+        pcr_vars = {"params": state.params}
+        rng = np.random.RandomState(21)
+        p0 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        p1 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        est3 = register_iterative(pcrnet, pcr_vars, p0, p1, 3)
+        norms = np.linalg.norm(np.asarray(est3.vec[:, :4]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_eval_step_with_iterations(self):
+        cfg = RegistrationConfig(num_points=64, num_out_points=16,
+                                 bottleneck_size=32, group_size=4,
+                                 batch_size=4)
+        pcrnet, state = create_pcrnet_state(cfg, jax.random.PRNGKey(2))
+        pcr_vars = {"params": state.params}
+        step = make_eval_step(None, pcrnet, pcr_vars, cfg, iterations=2)
+        rng = np.random.RandomState(22)
+        p0 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        p1 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        tw = jnp.tile(jnp.asarray([[1.0, 0, 0, 0, 0, 0, 0]]), (4, 1))
+        rot, trans, cons = step(None, p0, p1, tw)
+        assert rot.shape == (4,)
+        assert bool(jnp.isfinite(rot).all())

@@ -168,3 +168,22 @@ class TestProfiling:
             dt = t.mark(jnp.ones(4))
             assert dt >= 0
         assert t.ema_ms is not None
+
+
+class TestCanonicalParser:
+    def test_defaults_match_reference(self):
+        from samplenet_tpu.utils.args import get_parser
+        args = get_parser().parse_args([])
+        assert args.num_in_points == 1024
+        assert args.num_out_points == 64
+        assert args.bottleneck_size == 128
+        assert args.alpha == 0.01 and args.lmbda == 0.01
+        assert args.gamma == 1.0 and args.delta == 0.0
+        assert args.group_size == 8
+
+    def test_group_size_alias(self):
+        from samplenet_tpu.utils.args import get_parser
+        args = get_parser().parse_args(["--projection-group-size", "16"])
+        assert args.group_size == 16
+        args = get_parser().parse_args(["--group-size", "4"])
+        assert args.group_size == 4

@@ -115,16 +115,21 @@ def first_occurrence_mask(idx: jax.Array) -> jax.Array:
 
 
 def _compact_indices(idx: jax.Array, occ: jax.Array, k: int) -> jax.Array:
-    """Move first-occurrence indices to the front (order preserved)."""
+    """Move first-occurrence indices to the front (order preserved).
 
-    def one(idx_row, occ_row):
-        pos = jnp.cumsum(occ_row) - 1
-        pos = jnp.where(occ_row, pos, k)  # out-of-range -> dropped
-        return jnp.zeros((k,), jnp.int32).at[pos].set(
-            idx_row.astype(jnp.int32), mode="drop"
-        )
-
-    return jax.vmap(one)(idx, occ)
+    Formulated as a one-hot matmul instead of a scatter: TPU scatter is
+    serialized and cost ~1.2 ms at [1024, 32] (vs ~0.05 ms for the matmul).
+    compact[b, j] = sum_i [pos(b,i) == j] * idx(b, i), with pos = the
+    running count of first occurrences.
+    """
+    m = idx.shape[1]
+    pos = jnp.cumsum(occ, axis=1) - 1                       # [B, m]
+    pos = jnp.where(occ, pos, k)                            # dropped -> k
+    slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+    onehot = (pos[:, :, None] == slots).astype(jnp.float32)  # [B, m, k]
+    compact = jnp.einsum("bmk,bm->bk", onehot, idx.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    return compact.astype(jnp.int32)
 
 
 def nn_match_indices(
@@ -164,7 +169,15 @@ def nn_match_from_clouds(
 
     Returns (matched [B, k, 3], indices [B, k]).
     """
-    _, idx = chunked_min_argmin(simplified, full_pc)
+    from samplenet_tpu.ops.dispatch import pallas_backend_ok
+
+    if pallas_backend_ok() and full_pc.shape[-1] == 3:
+        from samplenet_tpu.ops.pallas import nn_direction
+
+        _, idx = nn_direction(simplified, full_pc,
+                              tile_x=min(512, simplified.shape[1]))
+    else:
+        _, idx = chunked_min_argmin(simplified, full_pc)
     out_idx = nn_match_indices(full_pc, idx, k, complete_fps=complete_fps)
     return gather_point(full_pc, out_idx), out_idx
 

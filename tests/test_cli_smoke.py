@@ -114,3 +114,44 @@ def test_reconstruction_progressive(tdir):
         "--num-out-points", "16", "--min-num-out-points", "8",
         "--group-size", "4", "--ae-ckpt", f"{tdir}/ae/ckpt",
         "--log-dir", f"{tdir}/aesnp"])
+
+
+def test_eval_cli_classifier_infer_fromfiles(tdir):
+    """The remaining evaluate_cli modes: voting eval, infer dumps, and
+    prefix evaluation from the dumped files."""
+    from samplenet_tpu.train import (
+        evaluate_cli,
+        train_classifier,
+        train_progressive,
+    )
+
+    train_classifier.main([
+        "--epochs", "1", "--steps-per-epoch", "1", "--train-size", "8",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--log-dir", f"{tdir}/cls"])
+    report = evaluate_cli.main([
+        "classifier", "--ckpt", f"{tdir}/cls/ckpt", "--num-points", "64",
+        "--batch-size", "4", "--test-size", "8", "--num-votes", "2",
+        "--log-dir", f"{tdir}/eval"])
+    assert 0.0 <= report["accuracy"] <= 1.0
+
+    train_progressive.main([
+        "--epochs", "1", "--steps-per-epoch", "1", "--train-size", "8",
+        "--test-size", "8", "--num-points", "64", "--batch-size", "4",
+        "--max-num-out-points", "16", "--min-num-out-points", "8",
+        "--bottleneck-size", "32", "--group-size", "4",
+        "--classifier-ckpt", f"{tdir}/cls/ckpt",
+        "--log-dir", f"{tdir}/prog"])
+    paths = evaluate_cli.main([
+        "infer", "--ckpt", f"{tdir}/prog/ckpt", "--num-points", "64",
+        "--batch-size", "4", "--test-size", "8", "--bottleneck-size", "32",
+        "--group-size", "4", "--out-dir", f"{tdir}/dumps",
+        "--log-dir", f"{tdir}/eval"])
+    assert set(paths) == {"simplified", "soft_projected", "hard_projected",
+                          "sampled"}
+    accs = evaluate_cli.main([
+        "from-files", "--dump", paths["sampled"],
+        "--classifier-ckpt", f"{tdir}/cls/ckpt", "--sizes", "8", "16",
+        "--batch-size", "4", "--test-size", "8", "--num-points", "64",
+        "--log-dir", f"{tdir}/eval"])
+    assert set(accs) == {8, 16}

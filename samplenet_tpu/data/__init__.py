@@ -4,6 +4,7 @@ from samplenet_tpu.data.modelnet import (  # noqa: F401
     save_h5,
     load_split,
     iterate_batches,
+    iterate_batches_padded,
     MODELNET40_CLASSES,
 )
 from samplenet_tpu.data.procedural import make_dataset, CLASS_NAMES  # noqa: F401

@@ -114,3 +114,24 @@ def iterate_batches(
     for s in range(0, end, batch_size):
         idx = order[s : s + batch_size]
         yield data[idx], labels[idx]
+
+
+def iterate_batches_padded(
+    data: np.ndarray, labels: np.ndarray, batch_size: int
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Full-coverage eval iterator: yields (batch, labels, real_count).
+
+    The final partial batch is padded by repeating its last element so every
+    jit call sees the same static shape (the reference evaluates every test
+    sample, registration/main.py:127); callers must slice per-sample outputs
+    to [:real_count]. Order is preserved, nothing is shuffled or dropped.
+    """
+    n = len(labels)
+    for s in range(0, n, batch_size):
+        bx, by = data[s : s + batch_size], labels[s : s + batch_size]
+        real = len(by)
+        if real < batch_size:
+            pad = batch_size - real
+            bx = np.concatenate([bx, np.repeat(bx[-1:], pad, axis=0)])
+            by = np.concatenate([by, np.repeat(by[-1:], pad, axis=0)])
+        yield bx, by, real

@@ -25,7 +25,11 @@ from samplenet_tpu.ops.pairwise import chunked_min_argmin, pairwise_sqdist
 
 
 def approx_match(
-    xyz1: jax.Array, xyz2: jax.Array, *, fast_math: bool = False
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    *,
+    fast_math: bool = False,
+    batch_chunk: int | None = None,
 ) -> jax.Array:
     """Approximate bipartite matching weights.
 
@@ -36,12 +40,39 @@ def approx_match(
         and saturation bookkeeping — 2.15x faster at 2048x2048 on TPU with
         <0.2% effect on the transport cost (the op is itself an auction
         approximation). Default keeps full f32.
+      batch_chunk: process the batch in sequential chunks of this size
+        (`lax.map`) to bound the transient [chunk, n, m] working set. Default
+        auto-selects the largest batch divisor that keeps the three live level
+        buffers under ~1.2 GB — at the reference AE config (B=50, 2048x2048)
+        that is chunks of 10, ~0.5 GB transient instead of 2.5 GB.
 
     Returns:
       match: [B, n, m] f32 soft assignment (row sums -> max(n,m)/n,
       col sums -> max(n,m)/m as the schedule saturates). Non-differentiable
       (the reference registers no gradient for ApproxMatch).
     """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    if batch_chunk is None:
+        bytes_per_cloud = 3 * n * m * 4  # d2 + level weight + accumulator
+        limit = max(1, int(1.2e9) // bytes_per_cloud)
+        batch_chunk = max(c for c in range(1, min(limit, b) + 1) if b % c == 0)
+    if batch_chunk < b:
+        chunks = b // batch_chunk
+        out = jax.lax.map(
+            lambda xs: _approx_match_impl(xs[0], xs[1], fast_math=fast_math),
+            (
+                xyz1.reshape(chunks, batch_chunk, n, 3),
+                xyz2.reshape(chunks, batch_chunk, m, 3),
+            ),
+        )
+        return out.reshape(b, n, m)
+    return _approx_match_impl(xyz1, xyz2, fast_math=fast_math)
+
+
+def _approx_match_impl(
+    xyz1: jax.Array, xyz2: jax.Array, *, fast_math: bool
+) -> jax.Array:
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     factorl = float(max(n, m) // n)
@@ -54,7 +85,11 @@ def approx_match(
     )
 
     def body(carry, level):
-        satl, satr = carry  # [B, n], [B, m] — always f32
+        # The match is ACCUMULATED in the carry (one [B, n, m] f32 buffer)
+        # rather than stacked over levels — a stacked [levels, B, n, m]
+        # output is a 9.2 GB transient at the reference AE shape
+        # (B=50, 2048x2048, f32; pointnet_ae.py:125-133) vs <1 GB here.
+        satl, satr, acc = carry  # [B, n], [B, m], [B, n, m]
         weight = jnp.exp(level.astype(wdt) * d2) * satr[:, None, :].astype(wdt)
         row_sum = 1e-9 + jnp.sum(weight, axis=2, keepdims=True,
                                  dtype=jnp.float32)
@@ -67,14 +102,14 @@ def approx_match(
                            0.0)
         satr = jnp.maximum(satr - jnp.sum(weight, axis=1, dtype=jnp.float32),
                            0.0)
-        return (satl, satr), weight
+        return (satl, satr, acc + weight.astype(jnp.float32)), None
 
     init = (
         jnp.full((b, n), factorl, dtype=jnp.float32),
         jnp.full((b, m), factorr, dtype=jnp.float32),
+        jnp.zeros((b, n, m), dtype=jnp.float32),
     )
-    _, weights = jax.lax.scan(body, init, levels)
-    match = jnp.sum(weights.astype(jnp.float32), axis=0)
+    (_, _, match), _ = jax.lax.scan(body, init, levels)
     return jax.lax.stop_gradient(match)
 
 
@@ -102,16 +137,36 @@ def first_occurrence_mask(idx: jax.Array) -> jax.Array:
     """occ[b, i] = True iff idx[b, i] does not appear at any j < i.
 
     Static-shape replacement for np.unique(..., return_index) + order sort
-    (sputils._unique). O(m^2) compare — m <= 2048 keeps this trivial on VPU.
+    (sputils._unique). Two formulations, selected by m:
+      * m <= 128: dense [B, m, m] equality compare — trivial on the VPU and
+        faster than sorting at the common eval sizes (m = 8..64).
+      * m > 128: sort-based, O(m log m) memory/compute — a stable argsort
+        groups equal values with the earliest original position first, an
+        adjacent compare marks the group heads, and the inverse permutation
+        (a second argsort) carries the marks back to original order. At the
+        progressive-infer shape [B=1024, m=1024] the dense form would be a
+        1 G-element buffer; this is 3 [B, m] buffers.
     """
-    eq = idx[:, :, None] == idx[:, None, :]          # [B, m, m]
     mm = idx.shape[1]
-    lower = (
-        jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
-        < jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
+    if mm <= 128:
+        eq = idx[:, :, None] == idx[:, None, :]      # [B, m, m]
+        lower = (
+            jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (mm, mm), 0)
+        )
+        dup_before = jnp.any(eq & lower[None], axis=2)
+        return ~dup_before
+    order = jnp.argsort(idx, axis=1, stable=True)    # positions, value-sorted
+    sorted_vals = jnp.take_along_axis(idx, order, axis=1)
+    head = jnp.concatenate(
+        [
+            jnp.ones((idx.shape[0], 1), dtype=bool),
+            sorted_vals[:, 1:] != sorted_vals[:, :-1],
+        ],
+        axis=1,
     )
-    dup_before = jnp.any(eq & lower[None], axis=2)
-    return ~dup_before
+    inverse = jnp.argsort(order, axis=1)
+    return jnp.take_along_axis(head, inverse, axis=1)
 
 
 def _compact_indices(idx: jax.Array, occ: jax.Array, k: int) -> jax.Array:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from samplenet_tpu.data import augment, iterate_batches
+from samplenet_tpu.data import augment, iterate_batches, iterate_batches_padded
 from samplenet_tpu.parallel.mesh import batch_sharding, replicated
 from samplenet_tpu.models.pointnet_cls import (
     PointNetClassifier,
@@ -273,11 +273,13 @@ def train_classifier_loop(
 
 
 def evaluate_classifier(eval_step, state, test_data, batch_size) -> float:
+    """Full coverage: the tail batch is padded then sliced, so the result is
+    independent of batch_size (no test cloud dropped)."""
     data, labels = test_data
     correct = []
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
         _, ok = eval_step(state, jnp.asarray(bx), jnp.asarray(by))
-        correct.append(jax.device_get(ok))
+        correct.append(jax.device_get(ok)[:real])
     return float(np.mean(np.concatenate(correct)))
 
 
@@ -316,11 +318,12 @@ def train_samplenet_loop(
 
 
 def evaluate_samplenet(eval_step, state, test_data, batch_size) -> float:
+    """Full coverage (pad-and-slice), like evaluate_classifier."""
     data, labels = test_data
     correct = []
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
         ok = eval_step(state, jnp.asarray(bx), jnp.asarray(by))
-        correct.append(jax.device_get(ok))
+        correct.append(jax.device_get(ok)[:real])
     return float(np.mean(np.concatenate(correct)))
 
 
@@ -331,10 +334,10 @@ def per_class_accuracy(
     data, labels = test_data
     correct = np.zeros(num_classes)
     seen = np.zeros(num_classes)
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
         ok = np.asarray(jax.device_get(eval_step(state, jnp.asarray(bx),
                                                  jnp.asarray(by))))
-        for label, o in zip(by, ok):
+        for label, o in zip(by[:real], ok[:real]):
             seen[label] += 1
             correct[label] += float(o)
     return correct / np.maximum(seen, 1)

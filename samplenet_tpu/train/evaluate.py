@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from samplenet_tpu.data import augment, iterate_batches
+from samplenet_tpu.data import augment, iterate_batches_padded
 from samplenet_tpu.data.modelnet import load_h5, save_h5
 from samplenet_tpu.models.pointnet_cls import PointNetClassifier, classification_loss
 from samplenet_tpu.models.samplenet import SampleNet
@@ -43,14 +43,15 @@ def evaluate_classifier_voting(
     num_classes = None
     correct, per_class_seen, per_class_ok = 0, None, None
     total = 0
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
         vote_sum = None
         for vote in range(num_votes):
             rotated = augment.rotate_point_cloud_by_angle(
                 bx, vote / num_votes * 2 * np.pi)
             lg = np.asarray(logits_fn(jnp.asarray(rotated)))
             vote_sum = lg if vote_sum is None else vote_sum + lg
-        pred = vote_sum.argmax(1)
+        pred = vote_sum.argmax(1)[:real]
+        by = by[:real]
         if num_classes is None:
             num_classes = vote_sum.shape[1]
             per_class_seen = np.zeros(num_classes)
@@ -82,18 +83,21 @@ def evaluate_samplenet_matched(
         logits, _ = classifier.apply(c_vars, out, training=False)
         _, idx = chunked_min_argmin(simp, points)
         uniq = jnp.sum(first_occurrence_mask(idx), axis=1)
-        return (jnp.argmax(logits, -1) == labels,
-                classification_loss(logits, labels), uniq)
+        # per-sample NLL (not batch mean) so tail-batch padding can be sliced
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        return jnp.argmax(logits, -1) == labels, nll, uniq
 
     oks, losses, uniques = [], [], []
     num_classes = None
     per_class_seen = per_class_ok = None
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
-        ok, loss, uniq = step(jnp.asarray(bx), jnp.asarray(by))
-        ok = np.asarray(ok)
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
+        ok, nll, uniq = step(jnp.asarray(bx), jnp.asarray(by))
+        ok = np.asarray(ok)[:real]
+        by = by[:real]
         oks.append(ok)
-        losses.append(float(loss))
-        uniques.append(np.asarray(uniq))
+        losses.append(np.asarray(nll)[:real])
+        uniques.append(np.asarray(uniq)[:real])
         if num_classes is None:
             num_classes = int(max(labels)) + 1
             per_class_seen = np.zeros(num_classes)
@@ -103,7 +107,7 @@ def evaluate_samplenet_matched(
             per_class_ok[label] += float(o)
     return {
         "accuracy": float(np.mean(np.concatenate(oks))),
-        "loss": float(np.mean(losses)),
+        "loss": float(np.mean(np.concatenate(losses))),
         "mean_unique_nn": float(np.mean(np.concatenate(uniques))),
         "per_class_accuracy": per_class_ok / np.maximum(per_class_seen, 1),
     }
@@ -120,11 +124,11 @@ def infer_and_dump(
     infer = make_progressive_infer_step(sampler, num_out_points)
     outs = {k: [] for k in DUMP_TREES}
     kept_labels = []
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
         simp, soft, hard, matched = infer(state, jnp.asarray(bx))
         for key, val in zip(DUMP_TREES, (simp, soft, hard, matched)):
-            outs[key].append(np.asarray(val))
-        kept_labels.append(by)
+            outs[key].append(np.asarray(val)[:real])
+        kept_labels.append(by[:real])
     kept_labels = np.concatenate(kept_labels)
     paths = {}
     for key in DUMP_TREES:
@@ -152,8 +156,8 @@ def evaluate_from_files(
     out = {}
     for size in sizes:
         oks = []
-        for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+        for bx, by, real in iterate_batches_padded(data, labels, batch_size):
             oks.append(np.asarray(classify(jnp.asarray(bx[:, :size]),
-                                           jnp.asarray(by))))
+                                           jnp.asarray(by)))[:real])
         out[size] = float(np.mean(np.concatenate(oks)))
     return out

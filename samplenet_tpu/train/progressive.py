@@ -149,7 +149,7 @@ def evaluate_prefixes(
 ) -> dict[int, float]:
     """Accuracy at every prefix length of the matched ordered output
     (evaluate_from_files.py:175-190) — without the h5 round-trip."""
-    from samplenet_tpu.data import iterate_batches
+    from samplenet_tpu.data import iterate_batches_padded
 
     @jax.jit
     def classify(matched_prefix, labels):
@@ -158,11 +158,11 @@ def evaluate_prefixes(
         return jnp.argmax(logits, -1) == labels
 
     correct = {s: [] for s in sizes}
-    for bx, by in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
         _, _, _, matched = infer_step(state, jnp.asarray(bx))
         for s in sizes:
             ok = classify(matched[:, :s], jnp.asarray(by))
-            correct[s].append(np.asarray(ok))
+            correct[s].append(np.asarray(ok)[:real])
     return {s: float(np.mean(np.concatenate(v))) for s, v in correct.items()}
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from samplenet_tpu.data import iterate_batches
+from samplenet_tpu.data import iterate_batches_padded
 from samplenet_tpu.models.autoencoder import (
     PointNetAE,
     ae_chamfer_loss,
@@ -178,13 +178,14 @@ def make_sampler_ae_eval_step(sampler: SampleNet, ae: PointNetAE, ae_vars: dict)
 
 
 def evaluate_nre(eval_step, state, data: np.ndarray, batch_size: int) -> dict:
-    """Mean reconstruction losses + NRE over a dataset."""
+    """Mean reconstruction losses + NRE over a dataset (full coverage: the
+    tail batch is padded for the jit call, then sliced)."""
     sampled_losses, full_losses = [], []
     labels = np.zeros(len(data), np.int32)
-    for bx, _ in iterate_batches(data, labels, batch_size, shuffle=False):
+    for bx, _, real in iterate_batches_padded(data, labels, batch_size):
         ls, lf = eval_step(state, jnp.asarray(bx))
-        sampled_losses.append(np.asarray(ls))
-        full_losses.append(np.asarray(lf))
+        sampled_losses.append(np.asarray(ls)[:real])
+        full_losses.append(np.asarray(lf)[:real])
     sampled = np.concatenate(sampled_losses)
     full = np.concatenate(full_losses)
     return {

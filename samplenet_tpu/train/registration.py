@@ -66,11 +66,16 @@ def pcrnet_losses(
 
 
 def sampling_consistency(p0s, p1s, igt_vec) -> jax.Array:
-    """Chamfer between template samples and inverse-rotated source samples."""
+    """Chamfer between template samples and inverse-rotated source samples.
+
+    Returns the PER-SAMPLE consistency [B] (mean over points of both
+    directions) so eval can slice off tail-batch padding before averaging —
+    a batch-mean here would double-count the repeated padding cloud.
+    """
     gt_inv = QuaternionTransform(igt_vec).inverse()
     p0s_est = gt_inv.rotate(p1s)
     c0, c1 = chamfer_distance(p0s, p0s_est)
-    return jnp.mean(c0) + jnp.mean(c1)
+    return jnp.mean(c0, axis=1) + jnp.mean(c1, axis=1)
 
 
 def create_pcrnet_state(cfg: RegistrationConfig, rng) -> tuple[PCRNet, TrainState]:
@@ -208,7 +213,7 @@ def make_eval_step(
         gt = QuaternionTransform(igt_vec)
         rot_errs = rad_to_deg(est.rotation_errors(gt))        # [B] degrees
         trans_err = jnp.mean(jnp.sqrt((est.trans - gt.trans) ** 2))
-        consistency = sampling_consistency(p0s, p1s, igt_vec)
+        consistency = sampling_consistency(p0s, p1s, igt_vec)  # [B]
         return rot_errs, trans_err, consistency
 
     return step
@@ -244,13 +249,14 @@ def evaluate(
         r, t, c = eval_step(
             sampler_vars, jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(tw))
         rot_errs.append(np.asarray(r)[:real])
-        consistencies.append(float(c))
+        consistencies.append(np.asarray(c)[:real])
     rot = np.concatenate(rot_errs) if rot_errs else np.zeros(0)
+    cons = np.concatenate(consistencies) if consistencies else np.zeros(0)
     _, auc = precision_auc(rot)
     return {
         "rot_err_mean": float(rot.mean()) if len(rot) else float("nan"),
         "rot_err_std": float(rot.std()) if len(rot) else float("nan"),
         "auc": auc,
-        "consistency_mean": float(np.mean(consistencies)),
-        "consistency_std": float(np.std(consistencies)),
+        "consistency_mean": float(np.mean(cons)),
+        "consistency_std": float(np.std(cons)),
     }

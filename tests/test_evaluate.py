@@ -55,6 +55,31 @@ class TestMatchedEval:
         assert 1 <= report["mean_unique_nn"] <= 16
         assert 0.0 <= report["accuracy"] <= 1.0
 
+    def test_batch_size_independent(self, models):
+        """No test cloud is dropped or double-counted: with 8 samples, batch
+        sizes 4 (divides), 3 (pad path) and 8 give identical reports."""
+        classifier, c_vars, sampler, s_vars, data, labels = models
+        reports = [
+            evaluate_samplenet_matched(
+                sampler, s_vars, classifier, c_vars, data, labels, bs)
+            for bs in (4, 3, 8)
+        ]
+        for r in reports[1:]:
+            assert r["accuracy"] == reports[0]["accuracy"]
+            assert r["loss"] == pytest.approx(reports[0]["loss"], rel=1e-5)
+            assert r["mean_unique_nn"] == pytest.approx(
+                reports[0]["mean_unique_nn"], rel=1e-6)
+
+    def test_voting_batch_size_independent(self, models):
+        classifier, c_vars, _, _, data, labels = models
+        r4 = evaluate_classifier_voting(
+            classifier, c_vars, data[:, :16], labels, 4, num_votes=2)
+        r3 = evaluate_classifier_voting(
+            classifier, c_vars, data[:, :16], labels, 3, num_votes=2)
+        assert r4["accuracy"] == r3["accuracy"]
+        np.testing.assert_allclose(r4["per_class_accuracy"],
+                                   r3["per_class_accuracy"])
+
 
 class TestDumpsAndFromFiles:
     def test_roundtrip(self, models, tmp_path):

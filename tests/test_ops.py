@@ -154,6 +154,27 @@ class TestMatching:
         occ = np.asarray(ops.first_occurrence_mask(idx))
         np.testing.assert_array_equal(occ[0], [1, 1, 0, 1, 0, 1])
 
+    def test_first_occurrence_mask_sort_path(self):
+        """m > 128 takes the sort-based O(m log m) formulation; it must agree
+        with the dense path and with np.unique first-index semantics."""
+        rng = np.random.RandomState(40)
+        idx = rng.randint(0, 300, size=(4, 512)).astype(np.int32)
+        got = np.asarray(ops.first_occurrence_mask(jnp.asarray(idx)))
+        for b in range(4):
+            exp = np.zeros(512, bool)
+            exp[np.unique(idx[b], return_index=True)[1]] = True
+            np.testing.assert_array_equal(got[b], exp)
+
+    def test_first_occurrence_mask_paths_agree(self):
+        """The dense (m<=128) and sort-based (m>128) paths compute the same
+        mask on the same data (checked on the shared prefix)."""
+        rng = np.random.RandomState(41)
+        small = rng.randint(0, 40, size=(3, 128)).astype(np.int32)
+        big = np.concatenate([small, small[:, :16] + 1000], axis=1)
+        occ_small = np.asarray(ops.first_occurrence_mask(jnp.asarray(small)))
+        occ_big = np.asarray(ops.first_occurrence_mask(jnp.asarray(big)))
+        np.testing.assert_array_equal(occ_small, occ_big[:, :128])
+
     def test_nn_matching_matches_numpy(self):
         rng = np.random.RandomState(4)
         pc = rng.randn(3, 64, 3).astype(np.float32)
@@ -231,6 +252,21 @@ class TestApproxMatch:
         rng = np.random.RandomState(11)
         x = rng.randn(1, 16, 3).astype(np.float32)
         assert float(ops.emd_loss(x, x)) < 1e-2
+
+    def test_reference_ae_shape_memory(self):
+        """approx_match must not stack per-level [B, n, m] outputs: at the
+        reference AE config (B=50, 2048x2048 f32, pointnet_ae.py:125-133) a
+        stacked scan output alone is 9.2 GB. With the match accumulated in
+        the scan carry the compiled program's temp arena stays under 2 GB."""
+        fn = jax.jit(lambda a, b: ops.approx_match(a, b))
+        shape = jax.ShapeDtypeStruct((50, 2048, 3), jnp.float32)
+        compiled = fn.lower(shape, shape).compile()
+        analysis = compiled.memory_analysis()
+        if analysis is None or not hasattr(analysis, "temp_size_in_bytes"):
+            import pytest
+            pytest.skip("memory_analysis unavailable on this backend")
+        total = analysis.temp_size_in_bytes
+        assert total < 2 * 1024**3, f"temp arena {total/2**30:.2f} GiB"
 
     def test_emd_matching_identity(self):
         rng = np.random.RandomState(12)

@@ -203,7 +203,23 @@ class TestRegistrationSteps:
         rot, trans, cons = eval_step(svars, jnp.asarray(p0), jnp.asarray(p1),
                                      jnp.asarray(tw))
         assert rot.shape == (4,)  # per-sample rotation errors
-        assert bool(jnp.isfinite(rot).all()) and np.isfinite(float(cons))
+        assert cons.shape == (4,)  # per-sample consistency (padding sliceable)
+        assert bool(jnp.isfinite(rot).all())
+        assert bool(jnp.isfinite(cons).all())
+
+    def test_evaluate_batch_size_independent(self, setup):
+        """Pad-and-slice discipline: every metric (incl. consistency, which
+        used to average over the padded batch) is identical whether the test
+        set divides the batch size (4 | 8) or not (3)."""
+        from samplenet_tpu.train.registration import evaluate
+
+        cfg, pcrnet, pstate, ds = setup
+        pcr_vars = {"params": pstate.params}
+        eval_step = make_eval_step(None, pcrnet, pcr_vars, cfg)
+        r4 = evaluate(eval_step, None, ds, 4)
+        r3 = evaluate(eval_step, None, ds, 3)
+        for key in ("rot_err_mean", "rot_err_std", "auc", "consistency_mean"):
+            assert r4[key] == pytest.approx(r3[key], rel=1e-5), key
 
     def test_consistency_zero_for_perfect_sampling(self):
         """If both sampled clouds are the same points under the gt transform,
@@ -215,7 +231,8 @@ class TestRegistrationSteps:
         t = QuaternionTransform(jnp.asarray(vec))
         p1s = t.rotate(p0s)
         c = sampling_consistency(p0s, p1s, jnp.asarray(vec))
-        assert float(c) < 1e-8
+        assert c.shape == (2,)
+        assert float(jnp.max(c)) < 1e-8
 
     def test_precision_auc(self):
         errs = np.array([0.0, 10.0, 200.0])

@@ -90,9 +90,15 @@ def main() -> None:
         sampler, state = create_samplenet_state(scfg, 1024, jax.random.PRNGKey(2))
         step = make_samplenet_train_step(sampler, classifier, c_vars, scfg,
                                          augment_data=True)
-        dt = pipeline_time(
-            lambda x, st=state, stp=step: stp(st, x, ys, jax.random.PRNGKey(3))[1]["loss"],
-            [(x,) for x in xs], iters)
+        # train steps donate the state: thread it like a real training loop
+        holder = {"st": state}
+
+        def cls_call(x, stp=step, holder=holder):
+            holder["st"], metrics = stp(holder["st"], x, ys,
+                                        jax.random.PRNGKey(3))
+            return metrics["loss"]
+
+        dt = pipeline_time(cls_call, [(x,) for x in xs], iters)
         report(f"2:cls_samplenet_train_m{m}", "train step", b / dt,
                "clouds/sec")
 
@@ -114,8 +120,13 @@ def main() -> None:
     ae, astate = create_ae_state(acfg, jax.random.PRNGKey(5))
     ae_step = make_ae_train_step(ae, acfg)
     aes = [jnp.asarray(rng.randn(50, 2048, 3), jnp.float32) for _ in range(2)]
-    dt = pipeline_time(lambda x: ae_step(astate, x)[1], [(x,) for x in aes],
-                       max(iters // 3, 4))
+    ae_holder = {"st": astate}
+
+    def ae_call(x):
+        ae_holder["st"], loss = ae_step(ae_holder["st"], x)
+        return loss
+
+    dt = pipeline_time(ae_call, [(x,) for x in aes], max(iters // 3, 4))
     report("4:ae_train_2048_b50", "train step (chamfer)", 50 / dt,
            "clouds/sec")
 

@@ -92,7 +92,7 @@ def create_classifier_state(
 
 
 def make_classifier_train_step(model: PointNetClassifier, cfg: ClassifierConfig):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, points, labels, rng):
         aug_rng, drop_rng = jax.random.split(rng)
         if cfg.augment:
@@ -168,7 +168,7 @@ def make_samplenet_train_step(
     no dropout) exactly like the restored-frozen classifier graph in
     train_samplenet.py:169-171,195-199."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, points, labels, rng):
         if augment_data:
             points = augment.augment_for_classification(rng, points)

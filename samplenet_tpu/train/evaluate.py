@@ -23,7 +23,7 @@ from samplenet_tpu.data import augment, iterate_batches_padded
 from samplenet_tpu.data.modelnet import load_h5, save_h5
 from samplenet_tpu.models.pointnet_cls import PointNetClassifier, classification_loss
 from samplenet_tpu.models.samplenet import SampleNet
-from samplenet_tpu.ops.matching import first_occurrence_mask
+from samplenet_tpu.ops.matching import emd_matching, first_occurrence_mask
 from samplenet_tpu.ops.pairwise import chunked_min_argmin
 from samplenet_tpu.train.progressive import make_progressive_infer_step
 
@@ -71,14 +71,22 @@ def evaluate_samplenet_matched(
     sampler: SampleNet, s_vars: dict,
     classifier: PointNetClassifier, c_vars: dict,
     data: np.ndarray, labels: np.ndarray, batch_size: int,
-    *, match_output: bool = True,
+    *, match_output: bool = True, matching: str = "nn",
 ) -> dict:
     """Eval with matched (or raw simplified) output; also reports the mean
-    number of unique NN indices per cloud (evaluate_samplenet.py:227-228)."""
+    number of unique NN indices per cloud (evaluate_samplenet.py:227-228).
+
+    matching="nn" is the standard unique+FPS path; matching="emd" replaces
+    the matched output with the EMD transport argmax
+    (classification/models/samplenet_model.py:152-168 — see
+    ops.matching.emd_matching for the documented argmax-axis fix).
+    """
 
     @jax.jit
     def step(points, labels):
         simp, matched = sampler.apply(s_vars, points, training=False)
+        if matching == "emd":
+            matched = emd_matching(points, simp)
         out = matched if match_output else simp
         logits, _ = classifier.apply(c_vars, out, training=False)
         _, idx = chunked_min_argmin(simp, points)

@@ -42,6 +42,12 @@ def parse_args(argv=None):
     p.add_argument("--group-size", type=int, default=7)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--num-votes", type=int, default=12)
+    p.add_argument("--matching", choices=["nn", "emd"], default="nn",
+                   help="samplenet mode: hard-matching flavour — 'nn' is "
+                        "unique-NN + FPS completion; 'emd' takes each "
+                        "simplified point's strongest approx-EMD transport "
+                        "partner (samplenet_model.py:152-168, with the "
+                        "argmax-axis fix noted in ops.matching.emd_matching)")
     p.add_argument("--test-size", type=int, default=400)
     p.add_argument("--train-size", type=int, default=16)  # unused, for load_data
     p.add_argument("--sizes", type=int, nargs="+",
@@ -91,9 +97,9 @@ def main(argv=None):
         s_vars = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
         report = evaluate_samplenet_matched(
             sampler, s_vars, classifier, c_vars,
-            test[0], test[1], args.batch_size)
-        logger.log(f"matched accuracy@{args.num_out_points}: "
-                   f"{report['accuracy']:.4f} "
+            test[0], test[1], args.batch_size, matching=args.matching)
+        logger.log(f"matched accuracy@{args.num_out_points} "
+                   f"({args.matching} matching): {report['accuracy']:.4f} "
                    f"(mean unique NN {report['mean_unique_nn']:.1f})")
         for ci, acc in enumerate(report["per_class_accuracy"]):
             logger.log(f"  class {ci}: {acc:.4f}")

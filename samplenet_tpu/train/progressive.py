@@ -20,6 +20,7 @@ evaluate any prefix length.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -91,7 +92,7 @@ def make_progressive_train_step(
 ):
     sizes = cfg.sizes
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, points, labels):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -191,7 +192,7 @@ def make_progressive_ae_train_step(
     """Per-size losses AVERAGED (samplenet_progressive_pointnet_ae.py:164-194)."""
     sizes = cfg.sizes
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, x):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

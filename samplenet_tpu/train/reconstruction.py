@@ -12,6 +12,7 @@ sampled) / CD(recon from full input) (sampler/evaluate_samplenet.py:145-152).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -39,6 +40,10 @@ class AEConfig:
     learning_rate: float = 5e-4
     use_fps: bool = False          # FPS front-end (pointnet_ae.py:46-56)
     n_sample_points: int = 2048
+    # >0 enables denoising training: the step consumes a (noisy input,
+    # clean gt) pair — the reference keeps separate x/gt placeholders for
+    # exactly this (reconstruction/src/autoencoder.py:121-129).
+    denoising_sigma: float = 0.0
 
 
 @dataclass
@@ -69,12 +74,17 @@ def create_ae_state(cfg: AEConfig, rng) -> tuple[PointNetAE, TrainState]:
 
 
 def make_ae_train_step(model: PointNetAE, cfg: AEConfig):
+    """AE train step. `step(state, x)` reconstructs x against itself;
+    `step(state, x, gt)` trains noisy->clean (x = corrupted input, gt =
+    clean target — the reference's split x/gt placeholders,
+    autoencoder.py:121-129). The state buffers are donated."""
     loss_fn_inner = _ae_loss_fn(cfg.loss)
 
-    @jax.jit
-    def step(state: TrainState, x):
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, x, gt=None):
         from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
 
+        target = x if gt is None else gt
         if cfg.use_fps and cfg.n_sample_points < x.shape[1]:
             idx = farthest_point_sample(cfg.n_sample_points, x)
             s = gather_point(x, idx)
@@ -85,7 +95,7 @@ def make_ae_train_step(model: PointNetAE, cfg: AEConfig):
             recon, upd = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 s, training=True, mutable=["batch_stats"])
-            return loss_fn_inner(recon, x), upd["batch_stats"]
+            return loss_fn_inner(recon, target), upd["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -137,15 +147,22 @@ def make_sampler_ae_train_step(
 ):
     loss_fn_inner = _ae_loss_fn(ae_loss)
 
-    @jax.jit
-    def step(state: TrainState, x):
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, x, gt=None):
+        # x is the (possibly corrupted) sampler input; gt the clean target.
+        # The simplification loss stays against x — the reference computes it
+        # on the input placeholder (samplenet_pointnet_ae.py:165-189) — while
+        # the AE loss targets gt, with the 2w denoising weight from
+        # cfg.is_denoising.
+        target = x if gt is None else gt
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (q, s), upd = sampler.apply(
                 variables, x, training=True, mutable=["batch_stats"])
             # frozen AE on the soft-projected sample
             recon = ae.apply(ae_vars, s, training=False)
-            loss_ae = loss_fn_inner(recon, x)
+            loss_ae = loss_fn_inner(recon, target)
             loss_simp = reconstruction_simplification_loss(
                 x, q, cfg.num_out_points, cfg.is_denoising)
             sigma = sampler.apply(variables, method=SampleNet.get_projection_loss)
@@ -163,27 +180,37 @@ def make_sampler_ae_train_step(
 
 def make_sampler_ae_eval_step(sampler: SampleNet, ae: PointNetAE, ae_vars: dict):
     """Per-cloud chamfer of reconstructions from hard-sampled vs full input;
-    their ratio is the NRE."""
+    their ratio is the NRE. `step(state, x, gt)` evaluates the denoising
+    protocol: sample/reconstruct from the noisy x, score against clean gt."""
 
     @jax.jit
-    def step(state: TrainState, x):
+    def step(state: TrainState, x, gt=None):
+        target = x if gt is None else gt
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         _, matched = sampler.apply(variables, x, training=False)
         recon_sampled = ae.apply(ae_vars, matched, training=False)
         recon_full = ae.apply(ae_vars, x, training=False)
-        return (ae_per_cloud_chamfer(recon_sampled, x),
-                ae_per_cloud_chamfer(recon_full, x))
+        return (ae_per_cloud_chamfer(recon_sampled, target),
+                ae_per_cloud_chamfer(recon_full, target))
 
     return step
 
 
-def evaluate_nre(eval_step, state, data: np.ndarray, batch_size: int) -> dict:
+def evaluate_nre(
+    eval_step, state, data: np.ndarray, batch_size: int, *, noise_fn=None
+) -> dict:
     """Mean reconstruction losses + NRE over a dataset (full coverage: the
-    tail batch is padded for the jit call, then sliced)."""
+    tail batch is padded for the jit call, then sliced). `noise_fn` corrupts
+    the model input while the clean cloud stays the scoring target
+    (denoising NRE)."""
     sampled_losses, full_losses = [], []
     labels = np.zeros(len(data), np.int32)
     for bx, _, real in iterate_batches_padded(data, labels, batch_size):
-        ls, lf = eval_step(state, jnp.asarray(bx))
+        if noise_fn is None:
+            ls, lf = eval_step(state, jnp.asarray(bx))
+        else:
+            ls, lf = eval_step(state, jnp.asarray(noise_fn(bx)),
+                               jnp.asarray(bx))
         sampled_losses.append(np.asarray(ls)[:real])
         full_losses.append(np.asarray(lf)[:real])
     sampled = np.concatenate(sampled_losses)

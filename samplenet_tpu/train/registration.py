@@ -10,6 +10,7 @@ and the dual-cloud sampling-consistency chamfer (main.py:540-555).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -108,7 +109,7 @@ def create_sampler_state(cfg: RegistrationConfig, rng) -> tuple[SampleNet, Train
 def make_pcrnet_train_step(model: PCRNet, cfg: RegistrationConfig):
     """Phase 1: train PCRNet on full clouds (no sampler)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, p0, p1, igt_vec):
         def loss_fn(params):
             loss, info = pcrnet_losses(
@@ -127,7 +128,7 @@ def make_sampler_train_step(
     """Phase 2: train SampleNet against the frozen PCRNet
     (main.py:306-362 with compute_samplenet_loss + compute_pcrnet_loss)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, p0, p1, igt_vec):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

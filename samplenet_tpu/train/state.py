@@ -50,6 +50,21 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
 
+def clone_state(tree):
+    """Deep-copy every array leaf of a pytree (e.g. a TrainState).
+
+    The train steps donate their input state's buffers to the output
+    (jit donate_argnums=0) so params/opt-state are updated in place on TPU —
+    halving peak HBM for the state at large batch. The flip side: the caller's
+    OLD state object is dead after the call. Training loops that rebind
+    `state = step(state, ...)` never notice; callers that must keep the old
+    state alive (checkpoint comparisons, tests reusing a fixture) should pass
+    `clone_state(state)` into the step instead.
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jax.numpy.copy(x) if hasattr(x, "dtype") else x, tree)
+
+
 def staircase_lr(
     base_lr: float,
     batch_size: int,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from samplenet_tpu.data import iterate_batches, make_dataset
+from samplenet_tpu.data import augment, iterate_batches, make_dataset
 from samplenet_tpu.train import checkpoints
 from samplenet_tpu.train.reconstruction import (
     AEConfig,
@@ -47,6 +47,12 @@ def parse_args(argv=None):
     p.add_argument("--alpha", type=float, default=0.01)
     p.add_argument("--lmbda", type=float, default=0.0001)
     p.add_argument("--ae-ckpt", default="log/ae/ckpt")
+    p.add_argument("--denoising-sigma", type=float, default=0.0,
+                   help="gaussian input-corruption sigma; >0 trains "
+                        "noisy->clean (the reference's split x/gt "
+                        "placeholders, autoencoder.py:121-129) and, in the "
+                        "samplenet phase, doubles the size-scaled "
+                        "simplification weight (2w, is_denoising)")
     p.add_argument("--progressive", action="store_true",
                    help="nested-size sampler training: one checkpoint "
                         "serves every ratio (samplenet_progressive_"
@@ -69,11 +75,17 @@ def main(argv=None):
     np_rng = np.random.RandomState(0)
     dummy_labels = np.zeros(len(train_data), np.int32)
 
+    sigma = args.denoising_sigma
+
+    def corrupt(bx):
+        return augment.jitter_point_cloud(bx, np_rng, sigma=sigma, clip=1.0)
+
     if args.phase == "ae":
         cfg = AEConfig(num_points=args.num_points, loss=args.loss,
                        batch_size=args.batch_size,
                        bottleneck_size=args.bottleneck_size,
-                       n_sample_points=args.num_points)
+                       n_sample_points=args.num_points,
+                       denoising_sigma=sigma)
         model, state = create_ae_state(cfg, rng)
         step = make_ae_train_step(model, cfg)
         eval_step = make_ae_eval_step(model)
@@ -83,7 +95,11 @@ def main(argv=None):
                     train_data, dummy_labels, args.batch_size, rng=np_rng)):
                 if args.steps_per_epoch and bi >= args.steps_per_epoch:
                     break
-                state, loss = step(state, jnp.asarray(bx))
+                if sigma > 0:
+                    state, loss = step(state, jnp.asarray(corrupt(bx)),
+                                       jnp.asarray(bx))
+                else:
+                    state, loss = step(state, jnp.asarray(bx))
                 losses.append(float(loss))
             test_losses = [
                 float(np.mean(np.asarray(eval_step(state, jnp.asarray(bx)))))
@@ -100,7 +116,8 @@ def main(argv=None):
             "batch_stats": jax.device_get(state.batch_stats),
             "config": {"num_points": args.num_points,
                        "bottleneck_size": args.bottleneck_size,
-                       "loss": args.loss},
+                       "loss": args.loss,
+                       "denoising_sigma": sigma},
         })
         logger.log(f"saved checkpoint to {log_dir}/ckpt")
         return state
@@ -117,6 +134,7 @@ def main(argv=None):
         group_size=args.group_size,
         alpha=args.alpha, lmbda=args.lmbda,
         batch_size=args.batch_size,
+        is_denoising=sigma > 0,
     )
     if args.progressive:
         from samplenet_tpu.train.progressive import (
@@ -145,11 +163,21 @@ def main(argv=None):
                 train_data, dummy_labels, args.batch_size, rng=np_rng)):
             if args.steps_per_epoch and bi >= args.steps_per_epoch:
                 break
-            state, metrics = step(state, jnp.asarray(bx))
+            if sigma > 0:
+                state, metrics = step(state, jnp.asarray(corrupt(bx)),
+                                      jnp.asarray(bx))
+            else:
+                state, metrics = step(state, jnp.asarray(bx))
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
         mean = {k: float(np.mean(v)) for k, v in agg.items()}
-        report = evaluate_nre(eval_step, state, test_data, args.batch_size)
+        eval_rng = np.random.RandomState(123)
+        report = evaluate_nre(
+            eval_step, state, test_data, args.batch_size,
+            noise_fn=(
+                (lambda bx: augment.jitter_point_cloud(
+                    bx, eval_rng, sigma=sigma, clip=1.0))
+                if sigma > 0 else None))
         logger.log(f"epoch {epoch}: " +
                    " ".join(f"{k}={v:.5f}" for k, v in mean.items()) +
                    f" | NRE={report['nre']:.4f}")

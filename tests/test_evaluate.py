@@ -70,6 +70,15 @@ class TestMatchedEval:
             assert r["mean_unique_nn"] == pytest.approx(
                 reports[0]["mean_unique_nn"], rel=1e-6)
 
+    def test_emd_matching_mode(self, models):
+        """--matching emd is a selectable eval matcher; outputs stay real
+        input points (transport argmax indexes the full cloud)."""
+        classifier, c_vars, sampler, s_vars, data, labels = models
+        report = evaluate_samplenet_matched(
+            sampler, s_vars, classifier, c_vars, data, labels, 4,
+            matching="emd")
+        assert 0.0 <= report["accuracy"] <= 1.0
+
     def test_voting_batch_size_independent(self, models):
         classifier, c_vars, _, _, data, labels = models
         r4 = evaluate_classifier_voting(

@@ -17,6 +17,7 @@ from samplenet_tpu.train.progressive import (
     progressive_sizes,
 )
 from samplenet_tpu.train.reconstruction import AEConfig, create_ae_state
+from samplenet_tpu.train.state import clone_state
 
 
 def test_progressive_sizes():
@@ -42,7 +43,7 @@ class TestProgressiveTraining:
     def test_train_step_metrics(self, setup):
         cfg, sampler, state, classifier, c_vars, x, y = setup
         step = make_progressive_train_step(sampler, classifier, c_vars, cfg)
-        state, metrics = step(state, x, y)
+        state, metrics = step(clone_state(state), x, y)
         assert np.isfinite(float(metrics["loss"]))
         for s in cfg.sizes:
             assert f"acc@{s}" in metrics
@@ -51,7 +52,7 @@ class TestProgressiveTraining:
         """The summed classifier loss must exceed any single-size loss."""
         cfg, sampler, state, classifier, c_vars, x, y = setup
         step = make_progressive_train_step(sampler, classifier, c_vars, cfg)
-        _, metrics = step(state, x, y)
+        _, metrics = step(clone_state(state), x, y)
         # 3 sizes (8,16,32), each loss > 0 -> total > single ln(5) baseline
         assert float(metrics["classifier"]) > np.log(5)
 

@@ -22,6 +22,7 @@ from samplenet_tpu.train.reconstruction import (
     make_sampler_ae_eval_step,
     make_sampler_ae_train_step,
 )
+from samplenet_tpu.train.state import clone_state
 
 
 @pytest.fixture(scope="module")
@@ -67,6 +68,7 @@ class TestPointNetAE:
         cfg, model, state, x = ae_setup
         step = make_ae_train_step(model, cfg)
         losses = []
+        state = clone_state(state)
         for _ in range(30):
             state, loss = step(state, x)
             losses.append(float(loss))
@@ -78,6 +80,22 @@ class TestPointNetAE:
         per_cloud = eval_step(state, x)
         assert per_cloud.shape == (4,)
         assert bool(jnp.isfinite(per_cloud).all())
+
+    def test_denoising_train_step(self, ae_setup):
+        """Noisy->clean training (split x/gt, autoencoder.py:121-129): the
+        loss is scored against the clean gt, so feeding (noisy, clean) must
+        differ from plain (noisy) training and still converge."""
+        cfg, model, state, x = ae_setup
+        step = make_ae_train_step(model, cfg)
+        rng = np.random.RandomState(9)
+        losses = []
+        state = clone_state(state)
+        for _ in range(30):
+            noisy = x + 0.02 * jnp.asarray(rng.randn(*x.shape), jnp.float32)
+            state, loss = step(state, noisy, x)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8
+        assert all(np.isfinite(losses))
 
 
 class TestSampleNetAE:
@@ -95,7 +113,7 @@ class TestSampleNetAE:
     def test_train_step(self, setup):
         scfg, sampler, state, ae, ae_vars, x = setup
         step = make_sampler_ae_train_step(sampler, ae, ae_vars, scfg)
-        state, metrics = step(state, x)
+        state, metrics = step(clone_state(state), x)
         for k in ("loss", "ae", "simplification", "projection"):
             assert np.isfinite(float(metrics[k])), k
         assert float(metrics["projection"]) > 0
@@ -106,6 +124,25 @@ class TestSampleNetAE:
         report = evaluate_nre(eval_step, state, np.asarray(x), 4)
         assert report["nre"] > 0
         assert report["loss_sampled_mean"] >= 0
+
+    def test_denoising_sampler_step_and_noisy_nre(self, setup):
+        """is_denoising: sampler consumes the corrupted cloud, AE loss
+        targets the clean one (2w simplification weight); NRE supports a
+        noise_fn that corrupts inputs while scoring against clean."""
+        scfg_d = SampleNetAEConfig(num_out_points=16, group_size=4,
+                                   batch_size=4, is_denoising=True)
+        _, sampler, state, ae, ae_vars, x = setup
+        step = make_sampler_ae_train_step(sampler, ae, ae_vars, scfg_d)
+        rng = np.random.RandomState(10)
+        noisy = x + 0.02 * jnp.asarray(rng.randn(*x.shape), jnp.float32)
+        state2, metrics = step(clone_state(state), noisy, x)
+        assert np.isfinite(float(metrics["loss"]))
+        eval_step = make_sampler_ae_eval_step(sampler, ae, ae_vars)
+        nrng = np.random.RandomState(11)
+        report = evaluate_nre(
+            eval_step, state2, np.asarray(x), 4,
+            noise_fn=lambda b: b + 0.02 * nrng.randn(*b.shape).astype("f4"))
+        assert report["nre"] > 0 and np.isfinite(report["nre"])
 
     def test_recon_sampler_has_no_fc_bn(self, setup):
         _, sampler, state, *_ = setup

@@ -30,6 +30,7 @@ from samplenet_tpu.train.registration import (
     precision_auc,
     sampling_consistency,
 )
+from samplenet_tpu.train.state import clone_state
 
 
 def rand_unit_quat(rng, shape=()):
@@ -184,7 +185,8 @@ class TestRegistrationSteps:
         cfg, pcrnet, state, ds = setup
         step = make_pcrnet_train_step(pcrnet, cfg)
         p0, p1, tw = next(ds.batches(4, shuffle=False))
-        state, info = step(state, jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(tw))
+        state, info = step(clone_state(state), jnp.asarray(p0),
+                           jnp.asarray(p1), jnp.asarray(tw))
         assert np.isfinite(float(info["loss"]))
         assert float(info["rot_err_deg"]) >= 0
 
@@ -194,8 +196,8 @@ class TestRegistrationSteps:
         sampler, sstate = create_sampler_state(cfg, jax.random.PRNGKey(1))
         step = make_sampler_train_step(sampler, pcrnet, pcr_vars, cfg)
         p0, p1, tw = next(ds.batches(4, shuffle=False))
-        sstate, info = step(sstate, jnp.asarray(p0), jnp.asarray(p1),
-                            jnp.asarray(tw))
+        sstate, info = step(clone_state(sstate), jnp.asarray(p0),
+                            jnp.asarray(p1), jnp.asarray(tw))
         assert np.isfinite(float(info["loss"]))
         assert float(info["simplification_loss"]) > 0
         eval_step = make_eval_step(sampler, pcrnet, pcr_vars, cfg)

@@ -1,39 +1,27 @@
 """Benchmark suite over the five BASELINE.json configs. One JSON line each.
 
-    python benchmarks/bench_suite.py [--quick]
+Timing methodology in benchmarks/measure.py: scalar-pull syncs
+(block_until_ready is a no-op through the TPU tunnel), adaptive pipelined
+dispatch between syncs — pipeline depth doubles until run-to-run spread is
+<5%, so published numbers carry no tunnel jitter. The classification train
+step additionally reports single-chip MFU (XLA cost-analysis FLOPs over
+measured step time, against the chip's bf16 peak).
 
-Timing methodology as in bench.py: scalar-pull syncs (block_until_ready is a
-no-op through the TPU tunnel), pipelined dispatch between syncs.
+    python benchmarks/bench_suite.py [--quick] [--big]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import time
-
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def pipeline_time(fn, args_list, iters: int) -> float:
-    """Seconds per call, pipelined with one trailing sync."""
-    import jax.numpy as jnp
-
-    def sync(o):
-        while isinstance(o, (tuple, list)):
-            o = o[0]
-        return float(jnp.sum(o))
-
-    sync(fn(*args_list[0]))
-    t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = fn(*args_list[i % len(args_list)])
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+# TPU v5e (v5 lite) peak: ~197 TFLOP/s bf16 / ~98 TFLOP/s fp32 on the MXU.
+V5E_PEAK_BF16 = 197e12
 
 
 def main() -> None:
@@ -43,9 +31,8 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from measure import pipelined_rate
     from samplenet_tpu.models import SampleNet
-    from samplenet_tpu.models.autoencoder import PointNetAE
-    from samplenet_tpu.models.pcrnet import PCRNet
     from samplenet_tpu.train.classification import (
         SampleNetConfig, create_samplenet_state, make_samplenet_train_step)
     from samplenet_tpu.models.pointnet_cls import PointNetClassifier
@@ -58,17 +45,22 @@ def main() -> None:
     import optax
 
     p = argparse.ArgumentParser()
-    p.add_argument("--quick", action="store_true")
+    p.add_argument("--quick", action="store_true",
+                   help="lower starting pipeline depth (still converges "
+                        "to <5% spread)")
+    p.add_argument("--big", action="store_true",
+                   help="also run the large-batch configs (B=1024 "
+                        "progressive shape)")
     args = p.parse_args()
-    # deep pipelines: ~33 ms tunnel round-trip amortises over iters
-    iters = 24 if args.quick else 64
+    min_iters = 16 if args.quick else 48
     rng = np.random.RandomState(0)
     device = str(jax.devices()[0])
 
-    def report(config: str, metric: str, value: float, unit: str) -> None:
+    def report(config: str, metric: str, res: dict, unit: str, **extra):
         print(json.dumps({"config": config, "metric": metric,
-                          "value": round(value, 2), "unit": unit,
-                          "device": device}), flush=True)
+                          "value": round(res["rate"], 2), "unit": unit,
+                          "spread": res["spread"], "iters": res["iters"],
+                          "device": device, **extra}), flush=True)
 
     # ---- config 1: SampleNet forward 1024->64, k=7, B=32 (reference CPU cfg)
     b = 32
@@ -76,15 +68,16 @@ def main() -> None:
     net = SampleNet(num_out_points=64, bottleneck_size=128, group_size=7)
     v = net.init(jax.random.PRNGKey(0), xs[0][:2], training=False)
     fwd = jax.jit(lambda v, x: net.apply(v, x, training=False)[1])
-    dt = pipeline_time(lambda x: fwd(v, x), [(x,) for x in xs], iters)
-    report("1:samplenet_fwd_1024to64_b32", "eval fwd + matching",
-           b / dt, "clouds/sec")
+    res = pipelined_rate(lambda x: fwd(v, x), [(x,) for x in xs], b,
+                         min_iters=min_iters)
+    report("1:samplenet_fwd_1024to64_b32", "eval fwd + matching", res,
+           "clouds/sec")
 
-    # ---- config 2: classification SampleNet train + eval throughput at each m
-    classifier = PointNetClassifier(num_classes=10)
+    # ---- config 2: classification SampleNet train throughput at each m
+    classifier = PointNetClassifier(num_classes=24)
     c_vars = classifier.init(jax.random.PRNGKey(1),
                              jnp.zeros((2, 64, 3)), training=False)
-    ys = jnp.asarray(rng.randint(0, 10, b))
+    ys = jnp.asarray(rng.randint(0, 24, b))
     for m in (8, 16, 32, 64):
         scfg = SampleNetConfig(num_out_points=m, batch_size=b)
         sampler, state = create_samplenet_state(scfg, 1024, jax.random.PRNGKey(2))
@@ -98,9 +91,20 @@ def main() -> None:
                                         jax.random.PRNGKey(3))
             return metrics["loss"]
 
-        dt = pipeline_time(cls_call, [(x,) for x in xs], iters)
-        report(f"2:cls_samplenet_train_m{m}", "train step", b / dt,
-               "clouds/sec")
+        extra = {}
+        try:
+            cost = step.lower(holder["st"], xs[0], ys,
+                              jax.random.PRNGKey(3)).compile().cost_analysis()
+            extra["step_gflops"] = round(cost["flops"] / 1e9, 2)
+        except Exception:
+            cost = None
+        res = pipelined_rate(cls_call, [(x,) for x in xs], b,
+                             min_iters=min_iters)
+        if cost is not None:
+            extra["mfu_vs_bf16_peak"] = round(
+                cost["flops"] / res["sec_per_call"] / V5E_PEAK_BF16, 4)
+        report(f"2:cls_samplenet_train_m{m}", "train step", res,
+               "clouds/sec", **extra)
 
     # ---- config 3: progressive ordered inference (1024 outputs, all ratios)
     prog = SampleNet(num_out_points=1024, bottleneck_size=128, group_size=7,
@@ -110,10 +114,22 @@ def main() -> None:
                                batch_stats=pv["batch_stats"],
                                tx=optax.identity())
     infer = make_progressive_infer_step(prog, 1024)
-    dt = pipeline_time(lambda x: infer(pstate, x)[3], [(x,) for x in xs],
-                       max(iters // 3, 8))
-    report("3:progressive_infer_1024", "ordered infer (4 outputs)",
-           b / dt, "clouds/sec")
+    res = pipelined_rate(lambda x: infer(pstate, x)[3], [(x,) for x in xs],
+                         b, min_iters=max(min_iters // 3, 8))
+    report("3:progressive_infer_1024", "ordered infer (4 outputs)", res,
+           "clouds/sec")
+
+    if args.big:
+        # progressive eval forward at the infer_samplenet_progressive shape
+        # [B=1024, N=1024, m=1024] — exercises the sort-based unique +
+        # compaction (no quadratic buffers).
+        bx = [jnp.asarray(rng.randn(1024, 1024, 3), jnp.float32)
+              for _ in range(2)]
+        pf = jax.jit(lambda v, x: prog.apply(v, x, training=False)[1])
+        res = pipelined_rate(lambda x: pf(pv, x), [(x,) for x in bx],
+                             1024, min_iters=max(min_iters // 6, 4))
+        report("3b:progressive_eval_fwd_b1024_m1024",
+               "eval fwd + matching (1024->1024)", res, "clouds/sec")
 
     # ---- config 4: AE reconstruction train step (chamfer), 2048 pts, B=50
     acfg = AEConfig(num_points=2048, batch_size=50, n_sample_points=2048)
@@ -126,8 +142,26 @@ def main() -> None:
         ae_holder["st"], loss = ae_step(ae_holder["st"], x)
         return loss
 
-    dt = pipeline_time(ae_call, [(x,) for x in aes], max(iters // 3, 4))
-    report("4:ae_train_2048_b50", "train step (chamfer)", 50 / dt,
+    res = pipelined_rate(ae_call, [(x,) for x in aes], 50,
+                         min_iters=max(min_iters // 3, 4))
+    report("4:ae_train_2048_b50", "train step (chamfer)", res, "clouds/sec")
+
+    # ---- config 4b: AE train step with the approx-EMD loss at the
+    # reference AE shape (pointnet_ae.py:125-133) — feasible on one chip
+    # because approx_match accumulates its match in the scan carry.
+    ecfg = AEConfig(num_points=2048, batch_size=50, n_sample_points=2048,
+                    loss="emd")
+    eae, estate = create_ae_state(ecfg, jax.random.PRNGKey(8))
+    emd_step = make_ae_train_step(eae, ecfg)
+    emd_holder = {"st": estate}
+
+    def emd_call(x):
+        emd_holder["st"], loss = emd_step(emd_holder["st"], x)
+        return loss
+
+    res = pipelined_rate(emd_call, [(x,) for x in aes], 50,
+                         min_iters=max(min_iters // 12, 2))
+    report("4b:ae_train_emd_2048_b50", "train step (approx-EMD)", res,
            "clouds/sec")
 
     # ---- config 5: registration eval (dual-cloud sampling + PCRNet + errors)
@@ -139,11 +173,12 @@ def main() -> None:
     rv = rsampler.init(jax.random.PRNGKey(7), xs[0][:2], training=False)
     eval_step = make_eval_step(rsampler, pcrnet, pcr_vars, rcfg)
     twists = jnp.tile(jnp.asarray([[1.0, 0, 0, 0, 0, 0, 0]]), (b, 1))
-    dt = pipeline_time(
+    res = pipelined_rate(
         lambda x0, x1: eval_step(rv, x0, x1, twists)[0],
-        [(xs[i], xs[(i + 1) % 4]) for i in range(4)], max(iters // 3, 4))
+        [(xs[i], xs[(i + 1) % 4]) for i in range(4)],
+        b, min_iters=max(min_iters // 3, 4))
     report("5:registration_eval_dual64", "dual-sample + register + metrics",
-           b / dt, "pairs/sec")
+           res, "pairs/sec")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,71 @@
+"""Shared timing methodology for all benchmarks.
+
+The TPU sits behind a tunnel with ~33 ms host round-trip latency and
+`block_until_ready` does NOT synchronise through it, so a measurement is
+(a) a real sync via scalar pull, and (b) a deep pipeline of dispatches
+between syncs — device programs execute in enqueue order, so syncing the
+last output bounds the whole pipeline.
+
+`pipelined_rate` additionally makes the published numbers trustworthy: it
+repeats trials and DOUBLES the pipeline depth until the relative spread
+across trials is under `target_spread` (default 5%), so tunnel-scheduling
+jitter cannot leak into tables (round-1 lesson: 24-deep pipelines at B=32
+showed ±30% run-to-run noise).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _sync(out) -> float:
+    import jax.numpy as jnp
+
+    while isinstance(out, (tuple, list, dict)):
+        if isinstance(out, dict):
+            out = next(iter(out.values()))
+        else:
+            out = out[0]
+    return float(jnp.sum(out))
+
+
+def pipelined_rate(
+    fn,
+    args_list,
+    items_per_call: int,
+    *,
+    min_iters: int = 32,
+    trials: int = 5,
+    target_spread: float = 0.05,
+    max_rounds: int = 6,
+) -> dict:
+    """Measure items/sec for `fn(*args)` with adaptive pipeline depth.
+
+    Returns {"rate": median items/sec, "spread": (max-min)/median over
+    trials, "iters": pipeline depth used, "sec_per_call": median}.
+    """
+    _sync(fn(*args_list[0]))  # compile + real sync
+    iters = min_iters
+    best = None
+    for _ in range(max_rounds):
+        times = []
+        for _t in range(trials):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(iters):
+                out = fn(*args_list[i % len(args_list)])
+            _sync(out)
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        median = times[len(times) // 2]
+        spread = (times[-1] - times[0]) / median
+        best = {
+            "rate": items_per_call / median,
+            "spread": round(spread, 4),
+            "iters": iters,
+            "sec_per_call": median,
+        }
+        if spread < target_spread:
+            return best
+        iters *= 2
+    return best

@@ -172,19 +172,27 @@ def first_occurrence_mask(idx: jax.Array) -> jax.Array:
 def _compact_indices(idx: jax.Array, occ: jax.Array, k: int) -> jax.Array:
     """Move first-occurrence indices to the front (order preserved).
 
-    Formulated as a one-hot matmul instead of a scatter: TPU scatter is
-    serialized and cost ~1.2 ms at [1024, 32] (vs ~0.05 ms for the matmul).
-    compact[b, j] = sum_i [pos(b,i) == j] * idx(b, i), with pos = the
-    running count of first occurrences.
+    Two formulations, selected by the [B, m, k] one-hot size:
+      * small (m*k <= 16384): one-hot matmul instead of a scatter — TPU
+        scatter is serialized and costs ~1.2 ms at [1024, 32] vs ~0.05 ms
+        for the matmul. compact[b, j] = sum_i [pos(b,i) == j] * idx(b, i),
+        with pos = the running count of first occurrences.
+      * large: stable argsort of pos (dropped entries keyed to the back)
+        followed by a row gather of the first k — at the progressive infer
+        shape [B=1024, m=k=1024] the one-hot would be a 4 GB tensor; the
+        sort path is O(m log m) with [B, m] buffers only.
     """
     m = idx.shape[1]
     pos = jnp.cumsum(occ, axis=1) - 1                       # [B, m]
-    pos = jnp.where(occ, pos, k)                            # dropped -> k
-    slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
-    onehot = (pos[:, :, None] == slots).astype(jnp.float32)  # [B, m, k]
-    compact = jnp.einsum("bmk,bm->bk", onehot, idx.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-    return compact.astype(jnp.int32)
+    pos = jnp.where(occ, pos, m)                            # dropped -> back
+    if m * k <= 16384:
+        slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+        onehot = (pos[:, :, None] == slots).astype(jnp.float32)  # [B, m, k]
+        compact = jnp.einsum("bmk,bm->bk", onehot, idx.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        return compact.astype(jnp.int32)
+    order = jnp.argsort(pos, axis=1, stable=True)           # kept first
+    return jnp.take_along_axis(idx, order[:, :k], axis=1)
 
 
 def nn_match_indices(

@@ -53,7 +53,8 @@ def load_data(args):
     else:
         train = make_dataset(args.train_size, args.num_points, seed=args.seed)
         test = make_dataset(args.test_size, args.num_points, seed=args.seed + 1)
-        num_classes = 10
+        from samplenet_tpu.data import CLASS_NAMES
+        num_classes = len(CLASS_NAMES)
     # clouds may carry more points than requested (ModelNet h5 has 2048)
     train = (train[0][:, : args.num_points], train[1])
     test = (test[0][:, : args.num_points], test[1])

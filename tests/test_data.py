@@ -147,10 +147,12 @@ class TestProcedural:
         from samplenet_tpu.ops import chamfer_loss
         import jax.numpy as jnp
         rng = np.random.RandomState(0)
-        from samplenet_tpu.data.procedural import make_cloud
-        a1 = make_cloud(0, 256, rng)  # sphere
-        a2 = make_cloud(0, 256, rng)
-        b1 = make_cloud(8, 256, rng)  # helix
+        from samplenet_tpu.data.procedural import CLASS_NAMES, make_cloud
+        sphere = CLASS_NAMES.index("sphere")
+        helix = CLASS_NAMES.index("helix")
+        a1 = make_cloud(sphere, 256, rng)
+        a2 = make_cloud(sphere, 256, rng)
+        b1 = make_cloud(helix, 256, rng)
         same = float(chamfer_loss(jnp.asarray(a1[None]), jnp.asarray(a2[None])))
         cross = float(chamfer_loss(jnp.asarray(a1[None]), jnp.asarray(b1[None])))
         assert same < cross

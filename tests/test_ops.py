@@ -184,6 +184,18 @@ class TestMatching:
         exp = oracles.nn_matching_np(pc, idx, 16)
         np.testing.assert_allclose(got, exp, atol=1e-5)
 
+    def test_nn_matching_matches_numpy_large_m(self):
+        """m > 128 exercises the sort-based unique AND the sort-based
+        compaction (the one-hot/[B,m,k] paths don't scale to the
+        progressive shape); must match the numpy oracle exactly."""
+        rng = np.random.RandomState(42)
+        pc = rng.randn(2, 256, 3).astype(np.float32)
+        idx = rng.randint(0, 256, size=(2, 200)).astype(np.int32)
+        got = np.asarray(jax.jit(
+            lambda p, i: ops.nn_matching(p, i, 200))(pc, idx))
+        exp = oracles.nn_matching_np(pc, idx, 200)
+        np.testing.assert_allclose(got, exp, atol=1e-5)
+
     def test_nn_matching_no_fps(self):
         rng = np.random.RandomState(5)
         pc = rng.randn(2, 32, 3).astype(np.float32)

@@ -244,7 +244,7 @@ def _batch_placer(mesh):
 def train_classifier_loop(
     model, state, cfg: ClassifierConfig, train_data, test_data, *,
     epochs: int, logger, rng: jax.Array, steps_per_epoch: int | None = None,
-    mesh=None,
+    mesh=None, epoch_callback=None,
 ):
     train_step = make_classifier_train_step(model, cfg)
     eval_step = make_classifier_eval_step(model)
@@ -269,6 +269,8 @@ def train_classifier_loop(
             f"train_acc={np.mean(jax.device_get(accs)):.4f} test_acc={test_acc:.4f}")
         logger.metrics(int(state.step), loss=np.mean(jax.device_get(losses)),
                        train_acc=np.mean(jax.device_get(accs)), test_acc=test_acc)
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, test_acc)
     return state
 
 

@@ -121,6 +121,48 @@ def evaluate_samplenet_matched(
     }
 
 
+def evaluate_baseline_sampler(
+    classifier: PointNetClassifier, c_vars: dict,
+    data: np.ndarray, labels: np.ndarray, batch_size: int,
+    num_out_points: int, *, sampler: str = "fps", seed: int = 0,
+) -> dict:
+    """Non-learned sampling baselines for the classification eval — the
+    reference's FPS/Random comparison rows (registration/src/fps.py:8-43,
+    random_sampling.py:7-46; the paper's Fig. 4 baselines).
+
+    sampler="fps": greedy FPS from index 0; "random": per-cloud uniform
+    choice without replacement (seeded, deterministic).
+    """
+    from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
+
+    if sampler == "fps":
+        @jax.jit
+        def pick(points):
+            return gather_point(
+                points, farthest_point_sample(num_out_points, points))
+    elif sampler == "random":
+        def pick(points, _rng=np.random.RandomState(seed)):
+            idx = np.stack([
+                _rng.choice(points.shape[1], num_out_points, replace=False)
+                for _ in range(points.shape[0])])
+            return jnp.take_along_axis(
+                points, jnp.asarray(idx)[..., None], axis=1)
+    else:
+        raise ValueError(f"unknown baseline sampler {sampler!r}")
+
+    @jax.jit
+    def classify(sampled, labels):
+        logits, _ = classifier.apply(c_vars, sampled, training=False)
+        return jnp.argmax(logits, -1) == labels
+
+    oks = []
+    for bx, by, real in iterate_batches_padded(data, labels, batch_size):
+        sampled = pick(jnp.asarray(bx))
+        oks.append(np.asarray(classify(sampled, jnp.asarray(by)))[:real])
+    return {"accuracy": float(np.mean(np.concatenate(oks))),
+            "sampler": sampler, "m": num_out_points}
+
+
 DUMP_TREES = ("simplified", "soft_projected", "hard_projected", "sampled")
 
 

@@ -29,8 +29,10 @@ from samplenet_tpu.utils import Logger
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser("evaluate")
-    p.add_argument("mode", choices=["classifier", "samplenet", "infer",
-                                    "from-files"])
+    p.add_argument("mode", choices=["classifier", "samplenet", "baseline",
+                                    "infer", "from-files"])
+    p.add_argument("--sampler", choices=["fps", "random"], default="fps",
+                   help="baseline mode: non-learned sampler to evaluate")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--classifier-ckpt", default="log/classifier/ckpt")
     p.add_argument("--dataset", default="procedural",
@@ -85,6 +87,17 @@ def main(argv=None):
                    f"{report['accuracy']:.4f}")
         for ci, acc in enumerate(report["per_class_accuracy"]):
             logger.log(f"  class {ci}: {acc:.4f}")
+        return report
+
+    if args.mode == "baseline":
+        from samplenet_tpu.train.evaluate import evaluate_baseline_sampler
+
+        classifier, c_vars = _load_classifier(args.classifier_ckpt)
+        report = evaluate_baseline_sampler(
+            classifier, c_vars, test[0], test[1], args.batch_size,
+            args.num_out_points, sampler=args.sampler, seed=args.seed)
+        logger.log(f"{args.sampler} baseline accuracy@{args.num_out_points}: "
+                   f"{report['accuracy']:.4f}")
         return report
 
     if args.mode == "samplenet":

@@ -79,20 +79,39 @@ def main(argv=None):
     model, state = create_classifier_state(cfg, rng)
     logger.log(f"training classifier on {len(train[1])} clouds, "
                f"{num_classes} classes, device={jax.devices()[0]}")
+    # track the best test-acc snapshot: the classifier becomes the FROZEN
+    # task network, so the best epoch, not the last (which can dip from one
+    # noisy BN batch), is what downstream sampler training should see.
+    best = {"acc": -1.0, "params": None, "batch_stats": None, "epoch": -1}
+
+    def on_epoch(epoch, st, test_acc):
+        if test_acc > best["acc"]:
+            best.update(acc=test_acc, epoch=epoch,
+                        params=jax.device_get(st.params),
+                        batch_stats=jax.device_get(st.batch_stats))
+
     state = train_classifier_loop(
         model, state, cfg, train, test,
         epochs=args.epochs, logger=logger, rng=rng,
         steps_per_epoch=args.steps_per_epoch,
         mesh=(__import__("samplenet_tpu.parallel.mesh", fromlist=["make_mesh"])
               .make_mesh() if args.data_parallel else None),
+        epoch_callback=on_epoch,
     )
+    config = {"num_classes": num_classes, "use_tnets": args.use_tnets}
     ckpt_path = f"{args.log_dir}/ckpt"
     checkpoints.save(ckpt_path, {
+        "params": best["params"], "batch_stats": best["batch_stats"],
+        "config": {**config, "best_epoch": best["epoch"],
+                   "best_test_acc": best["acc"]},
+    })
+    checkpoints.save(f"{args.log_dir}/ckpt_last", {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
-        "config": {"num_classes": num_classes, "use_tnets": args.use_tnets},
+        "config": config,
     })
-    logger.log(f"saved checkpoint to {ckpt_path}")
+    logger.log(f"saved best (epoch {best['epoch']}, "
+               f"acc {best['acc']:.4f}) to {ckpt_path}; last to ckpt_last")
     return state
 
 

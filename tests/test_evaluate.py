@@ -90,6 +90,16 @@ class TestMatchedEval:
                                    r3["per_class_accuracy"])
 
 
+class TestBaselineSamplers:
+    def test_fps_and_random_run(self, models):
+        from samplenet_tpu.train.evaluate import evaluate_baseline_sampler
+        classifier, c_vars, _, _, data, labels = models
+        for sampler in ("fps", "random"):
+            r = evaluate_baseline_sampler(
+                classifier, c_vars, data, labels, 3, 16, sampler=sampler)
+            assert 0.0 <= r["accuracy"] <= 1.0, sampler
+
+
 class TestDumpsAndFromFiles:
     def test_roundtrip(self, models, tmp_path):
         pytest.importorskip("h5py")
@@ -165,6 +175,49 @@ class TestServing:
         assert out9.shape == (9, 8, 3)
         # deterministic across padding: same cloud -> same sample
         np.testing.assert_allclose(out3[0], sampler(x[:1])[0], atol=1e-6)
+
+    def test_microbatcher_coalesces_and_matches_direct(self):
+        import concurrent.futures as cf
+
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu.serving import BatchedSampler, MicroBatcher
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        rng = np.random.RandomState(2)
+        x = rng.randn(6, 64, 3).astype(np.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]), training=False)
+        sampler = BatchedSampler(net, v, max_batch=4, num_points=64)
+        batcher = MicroBatcher(sampler, max_wait_ms=20.0)
+        try:
+            with cf.ThreadPoolExecutor(6) as pool:
+                futs = list(pool.map(batcher.submit, list(x)))
+            outs = np.stack([f.result(timeout=30) for f in futs])
+        finally:
+            batcher.close()
+        direct = sampler(x)
+        np.testing.assert_allclose(outs, direct, atol=1e-5)
+
+    def test_versioned_artifact_roundtrip(self, tmp_path):
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu import serving
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x, training=False)
+        path = str(tmp_path / "sampler.sntpu")
+        serving.save_exported(path, net, v, batch=2, num_points=64,
+                              metadata={"track": "classification"})
+        fn, header = serving.load_exported(path)
+        assert header["batch"] == 2 and header["num_points"] == 64
+        assert header["track"] == "classification"
+        out = fn(v, x)
+        exp = net.apply(v, x, training=False)[1]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=1e-5)
+        # corrupting the magic is rejected, future versions are rejected
+        import pytest as _pytest
+        bad = tmp_path / "bad.sntpu"
+        bad.write_bytes(b"XXXXX" + open(path, "rb").read()[5:])
+        with _pytest.raises(ValueError, match="not a samplenet-tpu"):
+            serving.load_exported(str(bad))
 
     def test_stablehlo_roundtrip(self):
         from samplenet_tpu.models import SampleNet

@@ -13,6 +13,8 @@ channel axis of [B, N, C], which XLA maps straight onto the MXU.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -26,16 +28,19 @@ class TransformNet(nn.Module):
 
     k: int
     bn_momentum: float = 0.9
+    dtype: Any = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         feats = PointMLP(features=(64, 128, 1024), name="convs",
-                         bn_momentum=self.bn_momentum)(x, training=training)
+                         bn_momentum=self.bn_momentum,
+                         dtype=self.dtype)(x, training=training)
         g = jnp.max(feats, axis=1)
         for i, w in enumerate((512, 256)):
-            g = nn.Dense(w, name=f"fc_{i}")(g)
+            g = nn.Dense(w, name=f"fc_{i}", dtype=self.dtype)(g)
             g = nn.BatchNorm(use_running_average=not training,
-                             momentum=self.bn_momentum, name=f"bn_{i}")(g)
+                             momentum=self.bn_momentum, name=f"bn_{i}",
+                             dtype=self.dtype)(g)
             g = nn.relu(g)
         mat = nn.Dense(
             self.k * self.k,
@@ -59,6 +64,7 @@ class PointNetClassifier(nn.Module):
     use_tnets: bool = False
     bn_momentum: float = 0.9
     dropout_rate: float = 0.3
+    dtype: Any = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(
@@ -67,36 +73,45 @@ class PointNetClassifier(nn.Module):
         end_points: dict = {}
 
         if self.use_tnets:
-            t_in = TransformNet(k=3, name="tnet_input")(x, training=training)
+            t_in = TransformNet(k=3, name="tnet_input",
+                                dtype=self.dtype)(x, training=training)
             x = jnp.einsum("bnc,bcd->bnd", x, t_in)
             x = PointMLP(features=(64, 64), name="convs_a",
-                         bn_momentum=self.bn_momentum)(x, training=training)
-            t_feat = TransformNet(k=64, name="tnet_feature")(x, training=training)
+                         bn_momentum=self.bn_momentum,
+                         dtype=self.dtype)(x, training=training)
+            t_feat = TransformNet(k=64, name="tnet_feature",
+                                  dtype=self.dtype)(x, training=training)
             end_points["transform"] = t_feat
             x = jnp.einsum("bnc,bcd->bnd", x, t_feat)
             x = PointMLP(features=(64, 128, 1024), name="convs_b",
-                         bn_momentum=self.bn_momentum)(x, training=training)
+                         bn_momentum=self.bn_momentum,
+                         dtype=self.dtype)(x, training=training)
         else:
             x = PointMLP(features=(64, 64, 64, 128, 1024), name="convs",
-                         bn_momentum=self.bn_momentum)(x, training=training)
+                         bn_momentum=self.bn_momentum,
+                         dtype=self.dtype)(x, training=training)
 
         end_points["critical_set_idx"] = jnp.argmax(x, axis=1)
         g = jnp.max(x, axis=1)  # [B, 1024] global feature
         end_points["GFV"] = g
 
-        g = nn.Dense(512, name="fc1")(g)
+        g = nn.Dense(512, name="fc1", dtype=self.dtype)(g)
         g = nn.BatchNorm(use_running_average=not training,
-                         momentum=self.bn_momentum, name="bn_fc1")(g)
+                         momentum=self.bn_momentum, name="bn_fc1",
+                         dtype=self.dtype)(g)
         g = nn.relu(g)
         if self.use_tnets:
             g = nn.Dropout(self.dropout_rate, deterministic=not training)(g)
-        g = nn.Dense(256, name="fc2")(g)
+        g = nn.Dense(256, name="fc2", dtype=self.dtype)(g)
         g = nn.BatchNorm(use_running_average=not training,
-                         momentum=self.bn_momentum, name="bn_fc2")(g)
+                         momentum=self.bn_momentum, name="bn_fc2",
+                         dtype=self.dtype)(g)
         g = nn.relu(g)
         end_points["retrieval_vectors"] = g
         g = nn.Dropout(self.dropout_rate, deterministic=not training)(g)
-        logits = nn.Dense(self.num_classes, name="fc3")(g)
+        # final logits in f32 for a stable softmax
+        logits = nn.Dense(self.num_classes, name="fc3")(
+            g.astype(jnp.float32))
         return logits, end_points
 
 

@@ -49,6 +49,9 @@ class ClassifierConfig:
     # TF-style scheduled BN decay 0.5 -> 0.99 (train_samplenet.py:124-133);
     # when on, BN modules run with momentum 0 and the EMA happens in-step.
     bn_schedule: bool = False
+    # bf16 compute (params stay f32): halves MXU time on the per-point
+    # matmuls; distance ops keep precision=HIGHEST regardless.
+    bf16: bool = False
 
 
 @dataclass
@@ -69,6 +72,7 @@ class SampleNetConfig:
     decay_rate: float = 0.7
     batch_size: int = 32
     bn_schedule: bool = False
+    bf16: bool = False
 
 
 # --------------------------------------------------------------- classifier
@@ -78,7 +82,8 @@ def create_classifier_state(
 ) -> tuple[PointNetClassifier, TrainState]:
     model = PointNetClassifier(
         num_classes=cfg.num_classes, use_tnets=cfg.use_tnets,
-        bn_momentum=0.0 if cfg.bn_schedule else 0.9)
+        bn_momentum=0.0 if cfg.bn_schedule else 0.9,
+        dtype=jnp.bfloat16 if cfg.bf16 else None)
     dummy = jnp.zeros((2, cfg.num_points, 3), jnp.float32)
     variables = model.init({"params": rng}, dummy, training=False)
     tx = adam_with_schedule(
@@ -144,6 +149,7 @@ def create_samplenet_state(
         skip_projection=scfg.skip_projection,
         sigma_mode="tf",  # classification track: sigma = t^2, no clamp
         bn_momentum=0.0 if scfg.bn_schedule else 0.9,
+        dtype=jnp.bfloat16 if scfg.bf16 else None,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init({"params": rng}, dummy, training=False)

@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--use-tnets", action="store_true")
     p.add_argument("--bn-schedule", action="store_true",
                    help="TF-style scheduled BN decay 0.5->0.99")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute dtype (params stay f32)")
     p.add_argument("--train-size", type=int, default=2000,
                    help="procedural dataset size")
     p.add_argument("--test-size", type=int, default=400)
@@ -74,6 +76,7 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         use_tnets=args.use_tnets,
         bn_schedule=args.bn_schedule,
+        bf16=args.bf16,
     )
     rng = jax.random.PRNGKey(args.seed)
     model, state = create_classifier_state(cfg, rng)

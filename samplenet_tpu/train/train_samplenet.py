@@ -42,6 +42,8 @@ def parse_args(argv=None):
     p.add_argument("--delta", type=float, default=0.0)
     p.add_argument("--learning-rate", type=float, default=0.01)
     p.add_argument("--skip-projection", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute dtype (params stay f32)")
     p.add_argument("--bn-schedule", action="store_true",
                    help="TF-style scheduled BN decay 0.5->0.99")
     p.add_argument("--classifier-ckpt", default="log/classifier/ckpt")
@@ -80,6 +82,7 @@ def main(argv=None):
         skip_projection=args.skip_projection,
         batch_size=args.batch_size,
         bn_schedule=args.bn_schedule,
+        bf16=args.bf16,
     )
     rng = jax.random.PRNGKey(args.seed)
     sampler, state = create_samplenet_state(scfg, args.num_points, rng)

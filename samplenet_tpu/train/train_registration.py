@@ -102,8 +102,28 @@ def main(argv=None):
     np_rng = np.random.RandomState(0)
 
     if args.phase == "pcrnet":
+        from samplenet_tpu.geometry.transforms import (
+            QuaternionTransform, rad_to_deg)
+        from samplenet_tpu.train.registration import (
+            register_iterative, sampling_consistency)
+
         model, state = create_pcrnet_state(cfg, rng)
         step = make_pcrnet_train_step(model, cfg)
+
+        # one jitted validation step with the params as an ARGUMENT, so
+        # per-epoch validation never re-traces; signature matches
+        # evaluate()'s eval_step contract with pcr params in the vars slot.
+        @jax.jit
+        def val_step(pcr_params, p0, p1, tw):
+            est = register_iterative(model, {"params": pcr_params},
+                                     p0, p1, args.iterations)
+            rot = rad_to_deg(est.rotation_errors(QuaternionTransform(tw)))
+            return rot, jnp.zeros(()), sampling_consistency(p0, p1, tw)
+
+        # track the best validation snapshot — PCRNet becomes the frozen
+        # task network, so a noisy final epoch must not be what downstream
+        # sampler training freezes (same discipline as train_classifier).
+        best = {"rot": float("inf"), "params": None, "epoch": -1}
         for epoch in range(args.epochs):
             agg = []
             for bi, (p0, p1, tw) in enumerate(train.batches(
@@ -114,10 +134,18 @@ def main(argv=None):
                                    jnp.asarray(tw))
                 agg.append({k: float(v) for k, v in info.items()})
             mean = {k: float(np.mean([a[k] for a in agg])) for k in agg[0]}
+            val = evaluate(val_step, state.params, test, args.batch_size)
             logger.log(f"epoch {epoch}: " +
-                       " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
-            logger.metrics(int(state.step), **mean)
-        pcr_vars = {"params": jax.device_get(state.params)}
+                       " ".join(f"{k}={v:.4f}" for k, v in mean.items()) +
+                       f" val_rot={val['rot_err_mean']:.2f}deg")
+            logger.metrics(int(state.step), val_rot=val["rot_err_mean"],
+                           **mean)
+            if val["rot_err_mean"] < best["rot"]:
+                best.update(rot=val["rot_err_mean"], epoch=epoch,
+                            params=jax.device_get(state.params))
+        pcr_vars = {"params": best["params"]}
+        logger.log(f"best epoch {best['epoch']}: "
+                   f"val_rot={best['rot']:.2f}deg")
         eval_step = make_eval_step(None, model, pcr_vars, cfg,
                                    iterations=args.iterations)
         report = evaluate(eval_step, None, test, args.batch_size)

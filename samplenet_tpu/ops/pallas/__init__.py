@@ -10,10 +10,3 @@ from samplenet_tpu.ops.pallas.fps_kernel import (  # noqa: F401
     farthest_point_sample_pallas,
     fps_from_given_pallas,
 )
-from samplenet_tpu.ops.pallas.encoder_kernel import (  # noqa: F401
-    fused_point_encoder,
-    fold_bn_params,
-)
-from samplenet_tpu.ops.pallas.emd_kernel import (  # noqa: F401
-    approx_match_pallas,
-)

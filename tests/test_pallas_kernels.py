@@ -155,38 +155,3 @@ class TestFPSKernel:
         got = farthest_point_sample_pallas(8, pts, block_b=4, interpret=True)
         exp = farthest_point_sample(8, pts)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
-
-
-class TestFusedEncoder:
-    def test_matches_xla_with_bn_folding(self):
-        from samplenet_tpu.nn.layers import PointMLP
-        from samplenet_tpu.ops.pallas import fold_bn_params, fused_point_encoder
-        mlp = PointMLP(features=(16, 32, 32))
-        x = jnp.asarray(np.random.RandomState(11).randn(3, 100, 3), jnp.float32)
-        v = mlp.init(jax.random.PRNGKey(0), x, training=False)
-        folded = tuple(fold_bn_params(v["params"], 3,
-                                      batch_stats=v["batch_stats"]))
-        got = fused_point_encoder(x, folded, block_b=2, interpret=True)
-        exp = jnp.max(mlp.apply(v, x, training=False), axis=1)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
-                                   rtol=1e-4, atol=1e-5)
-
-
-class TestEMDKernel:
-    def test_matches_xla_cost_and_marginals(self):
-        from samplenet_tpu.ops.matching import approx_match, match_cost
-        from samplenet_tpu.ops.pallas import approx_match_pallas
-        rng = np.random.RandomState(12)
-        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
-        y = jnp.asarray(rng.randn(2, 48, 3), jnp.float32)
-        got = approx_match_pallas(x, y, tile_n=32, interpret=True)
-        exp = approx_match(x, y)
-        # marginals and transport cost must agree (individual entries drift
-        # through the 11-level saturation feedback)
-        np.testing.assert_allclose(np.asarray(got.sum(2)),
-                                   np.asarray(exp.sum(2)), atol=5e-2)
-        np.testing.assert_allclose(np.asarray(got.sum(1)),
-                                   np.asarray(exp.sum(1)), atol=5e-2)
-        c1 = match_cost(x, y, got)
-        c2 = match_cost(x, y, exp)
-        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=5e-3)

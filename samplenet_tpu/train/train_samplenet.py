@@ -116,15 +116,24 @@ def main(argv=None):
         mesh=(__import__("samplenet_tpu.parallel.mesh", fromlist=["make_mesh"])
               .make_mesh() if args.data_parallel else None),
     )
+    # The published checkpoint is the best-eval snapshot, not whatever the
+    # last epoch produced — same discipline as train_classifier (a noisy
+    # final epoch otherwise costs points and makes sampler-vs-FPS
+    # comparisons depend on run length; documented in docs/EVAL_PROTOCOL.md).
+    pub_state = state
+    if os.path.isdir(snap_best):
+        pub_state, extras = checkpoints.restore_train_state(snap_best, state)
+        logger.log(f"published checkpoint = best snapshot "
+                   f"(eval_acc={best['acc']:.4f}, epoch {extras.get('epoch')})")
     eval_step = make_samplenet_eval_step(sampler, classifier, classifier_vars)
-    table = per_class_accuracy(eval_step, state, test,
+    table = per_class_accuracy(eval_step, pub_state, test,
                                scfg.batch_size, num_classes)
     for ci, acc in enumerate(table):
         logger.log(f"  class {ci}: acc={acc:.4f}")
     ckpt_path = f"{args.log_dir}/ckpt"
     checkpoints.save(ckpt_path, {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
+        "params": jax.device_get(pub_state.params),
+        "batch_stats": jax.device_get(pub_state.batch_stats),
         "config": vars(args),
     })
     logger.log(f"saved checkpoint to {ckpt_path}")

@@ -171,6 +171,9 @@ def main(argv=None):
     step = make_sampler_train_step(sampler, pcrnet_model, pcr_vars, cfg)
     eval_step = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,
                                iterations=args.iterations)
+    # publish the best-validation snapshot, not the last epoch
+    # (docs/EVAL_PROTOCOL.md checkpoint-selection policy)
+    best = {"rot": float("inf"), "vars": None, "epoch": -1, "report": None}
     for epoch in range(args.epochs):
         agg = []
         for bi, (p0, p1, tw) in enumerate(train.batches(
@@ -189,9 +192,14 @@ def main(argv=None):
         logger.log(f"  eval: rot_err={report['rot_err_mean']:.2f}deg "
                    f"auc={report['auc']:.4f} "
                    f"consistency={report['consistency_mean']:.5f}")
+        if report["rot_err_mean"] < best["rot"]:
+            best.update(rot=report["rot_err_mean"], epoch=epoch,
+                        report=report,
+                        vars=jax.device_get(sampler_vars))
+    logger.log(f"best epoch {best['epoch']}: {best['report']}")
     checkpoints.save(f"{log_dir}/ckpt", {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
+        "params": best["vars"]["params"],
+        "batch_stats": best["vars"]["batch_stats"],
     })
     logger.log(f"saved checkpoint to {log_dir}/ckpt")
     return state

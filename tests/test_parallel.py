@@ -161,3 +161,42 @@ class TestNonfiniteGuard:
         s2 = s1.apply_gradients(good)
         np.testing.assert_allclose(np.asarray(s2.params["w"]),
                                    0.9 * np.ones(3))
+
+
+class TestMultiProcess:
+    def test_multiprocess_input_pipeline(self):
+        """TRUE multi-process distributed run (2 processes x 2 CPU devices,
+        joined via jax.distributed like a multi-host pod over DCN) — covers
+        jax.make_array_from_process_local_data assembly in
+        parallel/input_pipeline.py, unreachable from a single process."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        worker = os.path.join(os.path.dirname(__file__),
+                              "multihost_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", coord],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+            assert "WORKER_OK" in out, f"worker {i} output:\n{out}"
+        # both processes must observe identical global reductions
+        sums0 = [l for l in outs[0].splitlines() if l.startswith("batch")]
+        sums1 = [l for l in outs[1].splitlines() if l.startswith("batch")]
+        assert sums0 == sums1 and len(sums0) == 2, (sums0, sums1)

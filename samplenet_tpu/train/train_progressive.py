@@ -87,8 +87,8 @@ def main(argv=None):
                 break
             state, metrics = step(state, jnp.asarray(bx), jnp.asarray(by))
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
-        mean = {k: float(np.mean(v)) for k, v in agg.items()}
+                agg.setdefault(k, []).append(v)  # async device scalars
+        mean = {k: float(np.mean(jax.device_get(v))) for k, v in agg.items()}
         logger.log(f"epoch {epoch}: " +
                    " ".join(f"{k}={v:.4f}" for k, v in sorted(mean.items())))
         logger.metrics(int(state.step), **mean)

@@ -100,7 +100,7 @@ def main(argv=None):
                                        jnp.asarray(bx))
                 else:
                     state, loss = step(state, jnp.asarray(bx))
-                losses.append(float(loss))
+                losses.append(loss)  # async device scalar
             test_losses = [
                 float(np.mean(np.asarray(eval_step(state, jnp.asarray(bx)))))
                 for bx, _ in iterate_batches(
@@ -169,7 +169,7 @@ def main(argv=None):
             else:
                 state, metrics = step(state, jnp.asarray(bx))
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
+                agg.setdefault(k, []).append(v)  # async device scalar
         mean = {k: float(np.mean(v)) for k, v in agg.items()}
         eval_rng = np.random.RandomState(123)
         report = evaluate_nre(

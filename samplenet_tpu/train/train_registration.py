@@ -132,7 +132,8 @@ def main(argv=None):
                     break
                 state, info = step(state, jnp.asarray(p0), jnp.asarray(p1),
                                    jnp.asarray(tw))
-                agg.append({k: float(v) for k, v in info.items()})
+                agg.append(info)  # device scalars; no per-step host sync
+            agg = jax.device_get(agg)
             mean = {k: float(np.mean([a[k] for a in agg])) for k in agg[0]}
             val = evaluate(val_step, state.params, test, args.batch_size)
             logger.log(f"epoch {epoch}: " +
@@ -182,7 +183,8 @@ def main(argv=None):
                 break
             state, info = step(state, jnp.asarray(p0), jnp.asarray(p1),
                                jnp.asarray(tw))
-            agg.append({k: float(v) for k, v in info.items()})
+            agg.append(info)  # device scalars; no per-step host sync
+        agg = jax.device_get(agg)
         mean = {k: float(np.mean([a[k] for a in agg])) for k in agg[0]}
         logger.log(f"epoch {epoch}: " +
                    " ".join(f"{k}={v:.4f}" for k, v in mean.items()))

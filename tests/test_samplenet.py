@@ -265,3 +265,26 @@ class TestRandomSamplerNoReplacement:
         ys = np.asarray(y)
         for b in range(4):
             assert len(np.unique(ys[b], axis=0)) == 64  # no duplicates
+
+
+class TestBf16Compute:
+    def test_bf16_forward_train_and_eval(self):
+        """dtype=bf16 SampleNet: finite outputs, eval matching still returns
+        real input points (matching runs on f32 indices regardless of the
+        network compute dtype)."""
+        from samplenet_tpu.models import SampleNet
+
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4,
+                        dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 3), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x, training=False)
+        (simp, proj), _ = net.apply(variables, x, training=True,
+                                    mutable=["batch_stats"])
+        assert bool(jnp.isfinite(simp).all()) and bool(jnp.isfinite(proj).all())
+        simp_e, sampled = net.apply(variables, x, training=False)
+        assert sampled.dtype == jnp.float32
+        xs = np.asarray(x)
+        ss = np.asarray(sampled)
+        for b in range(2):
+            for p in ss[b]:  # every matched point is an actual input point
+                assert np.min(np.sum((xs[b] - p) ** 2, axis=-1)) < 1e-9

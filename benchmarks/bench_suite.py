@@ -106,6 +106,39 @@ def main() -> None:
         report(f"2:cls_samplenet_train_m{m}", "train step", res,
                "clouds/sec", **extra)
 
+    # ---- config 2b: the training-throughput headline shape (B=1024, m=32)
+    if args.big:
+        bb = 1024
+        bxs = [jnp.asarray(rng.randn(bb, 1024, 3), jnp.float32)
+               for _ in range(2)]
+        bys = jnp.asarray(rng.randint(0, 24, bb))
+        scfg = SampleNetConfig(num_out_points=32, batch_size=bb)
+        sampler, bstate = create_samplenet_state(scfg, 1024,
+                                                 jax.random.PRNGKey(9))
+        bstep = make_samplenet_train_step(sampler, classifier, c_vars, scfg,
+                                          augment_data=True)
+        bholder = {"st": bstate}
+
+        def big_call(x):
+            bholder["st"], metrics = bstep(bholder["st"], x, bys,
+                                           jax.random.PRNGKey(3))
+            return metrics["loss"]
+
+        extra = {}
+        try:
+            cost = bstep.lower(bholder["st"], bxs[0], bys,
+                               jax.random.PRNGKey(3)).compile().cost_analysis()
+            extra["step_gflops"] = round(cost["flops"] / 1e9, 2)
+        except Exception:
+            cost = None
+        res = pipelined_rate(big_call, [(x,) for x in bxs], bb,
+                             min_iters=max(min_iters // 3, 8))
+        if cost is not None:
+            extra["mfu_vs_bf16_peak"] = round(
+                cost["flops"] / res["sec_per_call"] / V5E_PEAK_BF16, 4)
+        report("2b:cls_samplenet_train_m32_b1024", "train step", res,
+               "clouds/sec", **extra)
+
     # ---- config 3: progressive ordered inference (1024 outputs, all ratios)
     prog = SampleNet(num_out_points=1024, bottleneck_size=128, group_size=7,
                      sigma_mode="tf")

@@ -113,10 +113,15 @@ def main(argv=None):
         # one jitted validation step with the params as an ARGUMENT, so
         # per-epoch validation never re-traces; signature matches
         # evaluate()'s eval_step contract with pcr params in the vars slot.
+        # Validation/selection always uses a SINGLE pass (the reference
+        # protocol): a single-pass-trained PCRNet degrades under composed
+        # refinement passes — pass 2 sees nearly-aligned pairs it never
+        # trained on — so selecting by the multi-pass metric picks bad
+        # snapshots. --iterations only affects the final test report.
         @jax.jit
         def val_step(pcr_params, p0, p1, tw):
             est = register_iterative(model, {"params": pcr_params},
-                                     p0, p1, args.iterations)
+                                     p0, p1, 1)
             rot = rad_to_deg(est.rotation_errors(QuaternionTransform(tw)))
             return rot, jnp.zeros(()), sampling_consistency(p0, p1, tw)
 
@@ -147,19 +152,22 @@ def main(argv=None):
         pcr_vars = {"params": best["params"]}
         logger.log(f"best epoch {best['epoch']}: "
                    f"val_rot={best['rot']:.2f}deg")
-        eval_step = make_eval_step(None, model, pcr_vars, cfg,
-                                   iterations=args.iterations)
-        report = evaluate(eval_step, None, test, args.batch_size)
-        logger.log(f"test (full clouds): {report}")
         # non-learned FPS baseline sampling (registration/main.py:485-499)
         from samplenet_tpu.models.samplenet import FPSSampler
 
         fps = FPSSampler(num_out_points=cfg.num_out_points, permute=False)
         fps_vars = fps.init(jax.random.PRNGKey(0),
                             jnp.zeros((2, cfg.num_points, 3)))
-        fps_eval = make_eval_step(fps, model, pcr_vars, cfg)
-        report_fps = evaluate(fps_eval, fps_vars, test, args.batch_size)
-        logger.log(f"test (FPS-sampled {cfg.num_out_points}): {report_fps}")
+        for its in sorted({1, args.iterations}):
+            eval_step = make_eval_step(None, model, pcr_vars, cfg,
+                                       iterations=its)
+            report = evaluate(eval_step, None, test, args.batch_size)
+            logger.log(f"test (full clouds, iterations={its}): {report}")
+            fps_eval = make_eval_step(fps, model, pcr_vars, cfg,
+                                      iterations=its)
+            report_fps = evaluate(fps_eval, fps_vars, test, args.batch_size)
+            logger.log(f"test (FPS-sampled {cfg.num_out_points}, "
+                       f"iterations={its}): {report_fps}")
         checkpoints.save(f"{log_dir}/ckpt", {"params": pcr_vars["params"]})
         logger.log(f"saved checkpoint to {log_dir}/ckpt")
         return state
@@ -170,8 +178,10 @@ def main(argv=None):
     pcr_vars = {"params": pcr_params}
     sampler, state = create_sampler_state(cfg, rng)
     step = make_sampler_train_step(sampler, pcrnet_model, pcr_vars, cfg)
+    # per-epoch validation/selection at a single pass (see the phase-1
+    # val_step note); --iterations only affects the final test report
     eval_step = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,
-                               iterations=args.iterations)
+                               iterations=1)
     # publish the best-validation snapshot, not the last epoch
     # (docs/EVAL_PROTOCOL.md checkpoint-selection policy)
     best = {"rot": float("inf"), "vars": None, "epoch": -1, "report": None}
@@ -199,6 +209,11 @@ def main(argv=None):
                         report=report,
                         vars=jax.device_get(sampler_vars))
     logger.log(f"best epoch {best['epoch']}: {best['report']}")
+    if args.iterations != 1:
+        it_eval = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,
+                                 iterations=args.iterations)
+        report = evaluate(it_eval, best["vars"], test, args.batch_size)
+        logger.log(f"best snapshot at iterations={args.iterations}: {report}")
     checkpoints.save(f"{log_dir}/ckpt", {
         "params": best["vars"]["params"],
         "batch_stats": best["vars"]["batch_stats"],

@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--classifier-ckpt", default="log/classifier/ckpt")
     p.add_argument("--train-size", type=int, default=2000)
     p.add_argument("--test-size", type=int, default=400)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run the prefix eval + save a checkpoint every K "
+                        "epochs (0 = only at the end); long runs stay "
+                        "harvestable if interrupted")
     p.add_argument("--log-dir", default="log/progressive")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -78,6 +82,23 @@ def main(argv=None):
     step = make_progressive_train_step(sampler, classifier, c_vars, cfg)
     logger.log(f"progressive sizes {cfg.sizes}, device={jax.devices()[0]}")
 
+    infer = make_progressive_infer_step(sampler, cfg.max_num_out_points)
+
+    def eval_and_save(tag: str):
+        accs = evaluate_prefixes(infer, state, classifier, c_vars,
+                                 test[0], test[1], cfg.sizes, args.batch_size)
+        for s in cfg.sizes:
+            logger.log(f"{tag} prefix {s}: eval acc={accs[s]:.4f}")
+        logger.metrics(int(state.step),
+                       **{f"eval_acc@{s}": float(accs[s]) for s in cfg.sizes})
+        checkpoints.save(f"{args.log_dir}/ckpt", {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "config": vars(args),
+        })
+        logger.log(f"saved checkpoint to {args.log_dir}/ckpt")
+        return accs
+
     np_rng = np.random.RandomState(0)
     for epoch in range(args.epochs):
         agg: dict[str, list] = {}
@@ -92,18 +113,11 @@ def main(argv=None):
         logger.log(f"epoch {epoch}: " +
                    " ".join(f"{k}={v:.4f}" for k, v in sorted(mean.items())))
         logger.metrics(int(state.step), **mean)
+        if args.eval_every and (epoch + 1) % args.eval_every == 0 \
+                and epoch + 1 < args.epochs:
+            eval_and_save(f"epoch {epoch}:")
 
-    infer = make_progressive_infer_step(sampler, cfg.max_num_out_points)
-    accs = evaluate_prefixes(infer, state, classifier, c_vars,
-                             test[0], test[1], cfg.sizes, args.batch_size)
-    for s in cfg.sizes:
-        logger.log(f"prefix {s}: eval acc={accs[s]:.4f}")
-    checkpoints.save(f"{args.log_dir}/ckpt", {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "config": vars(args),
-    })
-    logger.log(f"saved checkpoint to {args.log_dir}/ckpt")
+    eval_and_save("final")
     return state
 
 

@@ -137,12 +137,16 @@ def test_progressive_cli(tdir):
         "--test-size", "8", "--num-points", "64", "--batch-size", "4",
         "--log-dir", f"{tdir}/cls"])
     train_progressive.main([
-        "--epochs", "1", "--steps-per-epoch", "1", "--train-size", "8",
+        "--epochs", "2", "--eval-every", "1", "--steps-per-epoch", "1",
+        "--train-size", "8",
         "--test-size", "8", "--num-points", "64", "--batch-size", "4",
         "--max-num-out-points", "16", "--min-num-out-points", "8",
         "--bottleneck-size", "32", "--group-size", "4",
         "--classifier-ckpt", f"{tdir}/cls/ckpt",
         "--log-dir", f"{tdir}/prog"])
+    # the mid-run eval leaves a loadable checkpoint and eval metrics rows
+    metrics = open(f"{tdir}/prog/metrics_progressive.jsonl").read()
+    assert metrics.count('"eval_acc@8"') == 2  # epoch-1 eval + final
 
 
 def test_reconstruction_progressive(tdir):

@@ -11,6 +11,11 @@ repeats trials and DOUBLES the pipeline depth until the relative spread
 across trials is under `target_spread` (default 5%), so tunnel-scheduling
 jitter cannot leak into tables (round-1 lesson: 24-deep pipelines at B=32
 showed ±30% run-to-run noise).
+
+Tunnel noise is strictly ADDITIVE (a stall only ever lengthens a trial),
+so the lower quantiles estimate device time: statistics are computed over
+the fastest 3 of 5 trials, which keeps one stalled trial from forcing
+another pipeline-doubling round (or from inflating the published number).
 """
 
 from __future__ import annotations
@@ -36,13 +41,15 @@ def pipelined_rate(
     *,
     min_iters: int = 32,
     trials: int = 5,
+    keep: int = 3,
     target_spread: float = 0.05,
     max_rounds: int = 6,
 ) -> dict:
     """Measure items/sec for `fn(*args)` with adaptive pipeline depth.
 
-    Returns {"rate": median items/sec, "spread": (max-min)/median over
-    trials, "iters": pipeline depth used, "sec_per_call": median}.
+    Returns {"rate": items/sec, "spread", "iters", "sec_per_call"} where
+    rate/spread come from the `keep` fastest of `trials` trials (additive
+    tunnel noise means the fast tail is the device-time estimate).
     """
     _sync(fn(*args_list[0]))  # compile + real sync
     iters = min_iters
@@ -56,9 +63,9 @@ def pipelined_rate(
                 out = fn(*args_list[i % len(args_list)])
             _sync(out)
             times.append((time.perf_counter() - t0) / iters)
-        times.sort()
-        median = times[len(times) // 2]
-        spread = (times[-1] - times[0]) / median
+        fast = sorted(times)[:keep]
+        median = fast[len(fast) // 2]
+        spread = (fast[-1] - fast[0]) / median
         best = {
             "rate": items_per_call / median,
             "spread": round(spread, 4),

@@ -41,15 +41,30 @@ class RegistrationConfig:
     batch_size: int = 32
     learning_rate: float = 1e-3
     skip_projection: bool = False
+    # composed refinement passes INSIDE the train-step loss (the original
+    # PCRNet protocol trains through its iterations; a single-pass-trained
+    # net collapses when passes are composed at eval — pass 2 sees
+    # nearly-aligned pairs it never trained on)
+    train_iterations: int = 1
 
 
 def pcrnet_losses(
-    pcrnet: PCRNet, pcr_vars: dict, p0, p1, igt_vec, loss_type: int
+    pcrnet: PCRNet, pcr_vars: dict, p0, p1, igt_vec, loss_type: int,
+    iterations: int = 1,
 ) -> tuple[jax.Array, dict]:
-    """Chamfer alignment loss + transform-error metrics (main.py:557-598)."""
-    twist, pre_quat = pcrnet.apply(pcr_vars, p0, p1)
-    qnorm_loss = jnp.mean((jnp.sum(pre_quat**2, axis=1) - 1.0) ** 2)
-    est = QuaternionTransform(twist)
+    """Chamfer alignment loss + transform-error metrics (main.py:557-598).
+
+    With `iterations > 1` the loss is taken on the COMPOSED estimate after
+    that many refinement passes (differentiable through all of them) —
+    iteration-matched training for the original PCRNet protocol.
+    """
+    if iterations == 1:
+        twist, pre_quat = pcrnet.apply(pcr_vars, p0, p1)
+        qnorm_loss = jnp.mean((jnp.sum(pre_quat**2, axis=1) - 1.0) ** 2)
+        est = QuaternionTransform(twist)
+    else:
+        est = register_iterative(pcrnet, pcr_vars, p0, p1, iterations)
+        qnorm_loss = jnp.zeros(())  # per-pass diagnostic not meaningful here
     gt = QuaternionTransform(igt_vec)
     p1_est = est.rotate(p0)
     c01, c10 = chamfer_distance(p1, p1_est)
@@ -113,7 +128,8 @@ def make_pcrnet_train_step(model: PCRNet, cfg: RegistrationConfig):
     def step(state: TrainState, p0, p1, igt_vec):
         def loss_fn(params):
             loss, info = pcrnet_losses(
-                model, {"params": params}, p0, p1, igt_vec, cfg.loss_type)
+                model, {"params": params}, p0, p1, igt_vec, cfg.loss_type,
+                cfg.train_iterations)
             return loss, info
 
         (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -157,7 +173,8 @@ def make_sampler_train_step(
             samplenet_loss = cfg.alpha * simplification + cfg.lmbda * projection
 
             task_loss, info = pcrnet_losses(
-                pcrnet, pcr_vars, sampled[0], sampled[1], igt_vec, cfg.loss_type)
+                pcrnet, pcr_vars, sampled[0], sampled[1], igt_vec,
+                cfg.loss_type, cfg.train_iterations)
             loss = task_loss + samplenet_loss
             info = {**info, "simplification_loss": simplification,
                     "projection_loss": projection}

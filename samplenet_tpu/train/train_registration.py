@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--iterations", type=int, default=1,
                    help="iterative registration refinement passes at eval "
                         "(the original PCRNet protocol; reference uses 1)")
+    p.add_argument("--train-iterations", type=int, default=1,
+                   help="composed refinement passes inside the train loss "
+                        "(iteration-matched training; validation/selection "
+                        "uses the same count)")
     p.add_argument("--category", type=int, default=None,
                    help="restrict to one procedural class (the reference "
                         "trains registration on the ModelNet 'car' subset)")
@@ -97,6 +101,7 @@ def main(argv=None):
         alpha=args.alpha, lmbda=args.lmbda,
         num_sampled_clouds=args.num_sampled_clouds,
         batch_size=args.batch_size,
+        train_iterations=args.train_iterations,
     )
     rng = jax.random.PRNGKey(args.seed)
     np_rng = np.random.RandomState(0)
@@ -113,15 +118,15 @@ def main(argv=None):
         # one jitted validation step with the params as an ARGUMENT, so
         # per-epoch validation never re-traces; signature matches
         # evaluate()'s eval_step contract with pcr params in the vars slot.
-        # Validation/selection always uses a SINGLE pass (the reference
-        # protocol): a single-pass-trained PCRNet degrades under composed
-        # refinement passes — pass 2 sees nearly-aligned pairs it never
-        # trained on — so selecting by the multi-pass metric picks bad
-        # snapshots. --iterations only affects the final test report.
+        # Validation/selection uses the TRAINED pass count: a model trained
+        # at k passes must be selected at k passes (any mismatch is a broken
+        # signal — a single-pass-trained PCRNet collapses under composed
+        # passes, and vice versa). --iterations only affects the final
+        # test report.
         @jax.jit
         def val_step(pcr_params, p0, p1, tw):
             est = register_iterative(model, {"params": pcr_params},
-                                     p0, p1, 1)
+                                     p0, p1, args.train_iterations)
             rot = rad_to_deg(est.rotation_errors(QuaternionTransform(tw)))
             return rot, jnp.zeros(()), sampling_consistency(p0, p1, tw)
 
@@ -178,10 +183,10 @@ def main(argv=None):
     pcr_vars = {"params": pcr_params}
     sampler, state = create_sampler_state(cfg, rng)
     step = make_sampler_train_step(sampler, pcrnet_model, pcr_vars, cfg)
-    # per-epoch validation/selection at a single pass (see the phase-1
-    # val_step note); --iterations only affects the final test report
+    # per-epoch validation/selection at the trained pass count (see the
+    # phase-1 val_step note); --iterations only affects the final report
     eval_step = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,
-                               iterations=1)
+                               iterations=args.train_iterations)
     # publish the best-validation snapshot, not the last epoch
     # (docs/EVAL_PROTOCOL.md checkpoint-selection policy)
     best = {"rot": float("inf"), "vars": None, "epoch": -1, "report": None}

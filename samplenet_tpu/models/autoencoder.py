@@ -18,6 +18,7 @@ from samplenet_tpu.nn.layers import PointMLP
 from samplenet_tpu.ops.chamfer import nn_distance
 from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
 from samplenet_tpu.ops.matching import approx_match, match_cost
+from samplenet_tpu.ops.pairwise import pairwise_sqdist
 
 
 class PointNetAE(nn.Module):
@@ -70,6 +71,44 @@ def ae_emd_loss(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
     """mean approx-EMD (pointnet_ae.py:125-133)."""
     match = approx_match(x_reconstr, gt)
     return jnp.mean(match_cost(x_reconstr, gt, match))
+
+
+def ae_soft_assignment_loss(
+    x_reconstr: jax.Array,
+    gt: jax.Array,
+    *,
+    tau_scale: float = 1.0,
+    tau_floor: float = 1e-4,
+) -> jax.Array:
+    """Soft-assignment matching loss (beyond the reference's loss menu;
+    inspired by the APML line of work, PAPERS.md — this is our TPU-native
+    formulation, not a port of the paper's CUDA kernels).
+
+    Replaces chamfer's hard per-point min with a temperature-controlled
+    softmin over the full pairwise distance matrix, in both directions:
+
+        softmin_j D_ij = sum_j softmax_j(-D_ij / tau) * D_ij
+
+    The temperature is ADAPTIVE per cloud and direction: tau = tau_scale *
+    stop_grad(mean_i min_j D_ij) + tau_floor, so the assignment stays soft
+    (many correspondences share gradient — robust to outliers/noise) while
+    reconstructions are far from the target, and sharpens toward plain
+    chamfer as the fit improves. The whole loss is one batched matmul
+    (MXU) + two softmaxes — the attention-shaped computation TPUs are
+    built for; no scatter/gather kernels.
+    """
+    d = pairwise_sqdist(x_reconstr, gt)                    # [B, n, m]
+    tau_r = jax.lax.stop_gradient(
+        jnp.mean(jnp.min(d, axis=2), axis=1))              # [B]
+    tau_c = jax.lax.stop_gradient(
+        jnp.mean(jnp.min(d, axis=1), axis=1))              # [B]
+    tau_r = tau_scale * tau_r[:, None, None] + tau_floor
+    tau_c = tau_scale * tau_c[:, None, None] + tau_floor
+    w_r = jax.nn.softmax(-d / tau_r, axis=2)
+    w_c = jax.nn.softmax(-d / tau_c, axis=1)
+    soft_r = jnp.sum(w_r * d, axis=2)                      # [B, n]
+    soft_c = jnp.sum(w_c * d, axis=1)                      # [B, m]
+    return jnp.mean(soft_r) + jnp.mean(soft_c)
 
 
 def ae_per_cloud_chamfer(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:

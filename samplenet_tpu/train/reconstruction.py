@@ -25,6 +25,7 @@ from samplenet_tpu.models.autoencoder import (
     ae_chamfer_loss,
     ae_emd_loss,
     ae_per_cloud_chamfer,
+    ae_soft_assignment_loss,
 )
 from samplenet_tpu.models.losses import reconstruction_simplification_loss
 from samplenet_tpu.models.samplenet import SampleNet
@@ -35,7 +36,7 @@ from samplenet_tpu.train.state import TrainState, adam_with_schedule, staircase_
 class AEConfig:
     num_points: int = 2048
     bottleneck_size: int = 128
-    loss: str = "chamfer"          # 'chamfer' | 'emd'
+    loss: str = "chamfer"          # 'chamfer' | 'emd' | 'softassign'
     batch_size: int = 50           # default_train_params (ae_templates.py:46-56)
     learning_rate: float = 5e-4
     use_fps: bool = False          # FPS front-end (pointnet_ae.py:46-56)
@@ -60,7 +61,9 @@ class SampleNetAEConfig:
 
 
 def _ae_loss_fn(loss_name: str):
-    return ae_chamfer_loss if loss_name == "chamfer" else ae_emd_loss
+    fns = {"chamfer": ae_chamfer_loss, "emd": ae_emd_loss,
+           "softassign": ae_soft_assignment_loss}
+    return fns[loss_name]
 
 
 def create_ae_state(cfg: AEConfig, rng) -> tuple[PointNetAE, TrainState]:

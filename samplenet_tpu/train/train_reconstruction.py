@@ -40,7 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--train-size", type=int, default=500)
     p.add_argument("--test-size", type=int, default=100)
-    p.add_argument("--loss", choices=["chamfer", "emd"], default="chamfer")
+    p.add_argument("--loss", choices=["chamfer", "emd", "softassign"],
+                   default="chamfer",
+                   help="AE loss: reference menu (chamfer/emd) plus "
+                        "softassign, a TPU-native adaptive soft-assignment "
+                        "matching loss (beyond-reference; PAPERS.md)")
     p.add_argument("--bottleneck-size", type=int, default=128)
     p.add_argument("--num-out-points", type=int, default=64)
     p.add_argument("--group-size", type=int, default=16)

@@ -241,3 +241,58 @@ class TestConvDecoder:
             training=False) ** 2))(v["params"])
         assert all(bool(jnp.isfinite(x).all())
                    for x in jax.tree_util.tree_leaves(g))
+
+
+class TestSoftAssignmentLoss:
+    """ae_soft_assignment_loss: adaptive softmin matching (beyond-reference
+    loss; our TPU-native formulation — see PAPERS.md APML references)."""
+
+    def _clouds(self, seed=11, b=3, n=48, m=40):
+        rng = np.random.RandomState(seed)
+        return (jnp.asarray(rng.randn(b, n, 3), jnp.float32),
+                jnp.asarray(rng.randn(b, m, 3), jnp.float32))
+
+    def test_upper_bounds_chamfer(self):
+        from samplenet_tpu.models.autoencoder import (
+            ae_chamfer_loss, ae_soft_assignment_loss)
+        x, gt = self._clouds()
+        soft = float(ae_soft_assignment_loss(x, gt))
+        hard = float(ae_chamfer_loss(x, gt))
+        assert soft >= hard - 1e-6  # softmin-average >= hard min
+
+    def test_sharp_limit_is_chamfer(self):
+        from samplenet_tpu.models.autoencoder import (
+            ae_chamfer_loss, ae_soft_assignment_loss)
+        x, gt = self._clouds(seed=12)
+        soft = float(ae_soft_assignment_loss(x, gt, tau_scale=1e-4,
+                                             tau_floor=1e-8))
+        hard = float(ae_chamfer_loss(x, gt))
+        np.testing.assert_allclose(soft, hard, rtol=1e-3)
+
+    def test_identical_clouds_near_zero(self):
+        from samplenet_tpu.models.autoencoder import ae_soft_assignment_loss
+        x, _ = self._clouds(seed=13, m=48)
+        assert float(ae_soft_assignment_loss(x, x)) < 1e-2
+
+    def test_permutation_invariant_and_grads(self):
+        from samplenet_tpu.models.autoencoder import ae_soft_assignment_loss
+        x, gt = self._clouds(seed=14)
+        perm = np.random.RandomState(0).permutation(gt.shape[1])
+        a = float(ae_soft_assignment_loss(x, gt))
+        b = float(ae_soft_assignment_loss(x, gt[:, perm]))
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+        g = jax.grad(lambda q: ae_soft_assignment_loss(q, gt))(x)
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+    def test_train_step_dispatch(self, ae_setup):
+        """AEConfig(loss='softassign') trains one step with finite loss."""
+        from samplenet_tpu.train.reconstruction import (
+            AEConfig, create_ae_state, make_ae_train_step)
+        cfg = AEConfig(num_points=64, n_sample_points=64, batch_size=4,
+                       loss="softassign")
+        ae, state = create_ae_state(cfg, jax.random.PRNGKey(0))
+        step = make_ae_train_step(ae, cfg)
+        x = jnp.asarray(np.random.RandomState(1).randn(4, 64, 3), jnp.float32)
+        state, loss = step(state, x)
+        assert bool(jnp.isfinite(loss))

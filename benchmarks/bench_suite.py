@@ -197,6 +197,23 @@ def main() -> None:
     report("4b:ae_train_emd_2048_b50", "train step (approx-EMD)", res,
            "clouds/sec")
 
+    # ---- config 4c: AE train step with the soft-assignment loss
+    # (beyond-reference; one [50, 2048, 2048] matmul + dual softmax)
+    scfg2 = AEConfig(num_points=2048, batch_size=50, n_sample_points=2048,
+                     loss="softassign")
+    sae, sstate = create_ae_state(scfg2, jax.random.PRNGKey(9))
+    sa_step = make_ae_train_step(sae, scfg2)
+    sa_holder = {"st": sstate}
+
+    def sa_call(x):
+        sa_holder["st"], loss = sa_step(sa_holder["st"], x)
+        return loss
+
+    res = pipelined_rate(sa_call, [(x,) for x in aes], 50,
+                         min_iters=max(min_iters // 6, 2))
+    report("4c:ae_train_softassign_2048_b50", "train step (soft-assignment)",
+           res, "clouds/sec")
+
     # ---- config 5: registration eval (dual-cloud sampling + PCRNet + errors)
     rcfg = RegistrationConfig(num_points=1024, num_out_points=64,
                               batch_size=b)

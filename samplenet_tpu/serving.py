@@ -45,22 +45,37 @@ class BatchedSampler:
         )
         self._variables = variables
 
-    def __call__(self, clouds: np.ndarray) -> np.ndarray:
+    def dispatch(self, clouds: np.ndarray):
+        """Enqueue one padded batch on the device WITHOUT waiting; returns an
+        opaque handle for `fetch`. Splitting dispatch from fetch lets a
+        server overlap device compute / result transfer of batch k with the
+        dispatch of batch k+1 (essential behind a high-latency link)."""
         import jax.numpy as jnp
 
         b = len(clouds)
         if b > self.max_batch:
-            parts = [self(clouds[s : s + self.max_batch])
-                     for s in range(0, b, self.max_batch)]
-            return np.concatenate(parts)
+            raise ValueError(f"dispatch batch {b} > max_batch {self.max_batch}")
         if clouds.shape[1] != self.num_points:
             raise ValueError(
                 f"expected {self.num_points} points, got {clouds.shape[1]}")
         if b < self.max_batch:
             pad = np.repeat(clouds[-1:], self.max_batch - b, axis=0)
             clouds = np.concatenate([clouds, pad])
-        out = self._compiled(self._variables, jnp.asarray(clouds))
+        return self._compiled(self._variables, jnp.asarray(clouds)), b
+
+    def fetch(self, handle) -> np.ndarray:
+        """Block until a dispatched batch is done; return the real rows."""
+        out, b = handle
         return np.asarray(out)[:b]
+
+    def __call__(self, clouds: np.ndarray) -> np.ndarray:
+        b = len(clouds)
+        if b > self.max_batch:
+            # pipeline the chunks: dispatch all, then fetch in order
+            handles = [self.dispatch(clouds[s : s + self.max_batch])
+                       for s in range(0, b, self.max_batch)]
+            return np.concatenate([self.fetch(h) for h in handles])
+        return self.fetch(self.dispatch(clouds))
 
 
 def export_stablehlo(net, variables, *, batch: int, num_points: int) -> bytes:
@@ -144,11 +159,21 @@ class MicroBatcher:
     first), stacks them, runs the AOT-compiled sampler once, and resolves
     every Future. Under load the device sees full batches; a lone request
     pays at most max_wait_ms extra latency.
+
+    Dispatches are PIPELINED up to `pipeline_depth` in-flight batches:
+    while batch k's result travels back, batch k+1 is already enqueued on
+    the device, so sustained throughput is bounded by device rate — not by
+    the host<->device round-trip latency (which dominates behind a tunnel;
+    see BENCHMARKS.md serving table). When the request queue idles, every
+    in-flight batch is flushed immediately, so the pipelining adds no
+    latency to light traffic.
     """
 
-    def __init__(self, sampler: BatchedSampler, *, max_wait_ms: float = 5.0):
+    def __init__(self, sampler: BatchedSampler, *, max_wait_ms: float = 5.0,
+                 pipeline_depth: int = 4):
         self._sampler = sampler
         self._max_wait = max_wait_ms / 1e3
+        self._depth = max(1, pipeline_depth)
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._drain, daemon=True)
@@ -164,14 +189,39 @@ class MicroBatcher:
         return fut
 
     def _drain(self) -> None:
-        while True:
+        from collections import deque
+
+        inflight: deque = deque()  # (batch, device handle)
+
+        def flush_one() -> None:
+            batch, handle = inflight.popleft()
             try:
-                first = self._queue.get(timeout=0.1)
+                outs = self._sampler.fetch(handle)
+                for (_, fut), out in zip(batch, outs):
+                    fut.set_result(out)
+            except Exception as exc:  # resolve, don't wedge callers
+                for _, fut in batch:
+                    fut.set_exception(exc)
+
+        while True:
+            # take new work if it is already waiting; otherwise flush any
+            # in-flight batches before blocking (keeps light-traffic
+            # latency identical to the unpipelined design)
+            try:
+                first = self._queue.get_nowait()
             except queue.Empty:
-                if self._closed:
-                    return
-                continue
+                if inflight:
+                    flush_one()
+                    continue
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    if self._closed:
+                        return
+                    continue
             if first is None:
+                while inflight:
+                    flush_one()
                 return
             batch = [first]
             deadline = _now() + self._max_wait
@@ -189,13 +239,15 @@ class MicroBatcher:
                 batch.append(item)
             clouds = np.stack([c for c, _ in batch])
             try:
-                outs = self._sampler(clouds)
-                for (_, fut), out in zip(batch, outs):
-                    fut.set_result(out)
-            except Exception as exc:  # resolve, don't wedge callers
+                inflight.append((batch, self._sampler.dispatch(clouds)))
+            except Exception as exc:
                 for _, fut in batch:
                     fut.set_exception(exc)
+            while len(inflight) >= self._depth:
+                flush_one()
             if self._closed:
+                while inflight:
+                    flush_one()
                 return
 
     def close(self) -> None:

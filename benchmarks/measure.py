@@ -63,14 +63,21 @@ def pipelined_rate(
                 out = fn(*args_list[i % len(args_list)])
             _sync(out)
             times.append((time.perf_counter() - t0) / iters)
-        fast = sorted(times)[:keep]
+        srt = sorted(times)
+        fast = srt[:keep]
         median = fast[len(fast) // 2]
+        full_median = srt[len(srt) // 2]
         spread = (fast[-1] - fast[0]) / median
         best = {
             "rate": items_per_call / median,
             "spread": round(spread, 4),
             "iters": iters,
             "sec_per_call": median,
+            # full-trial median alongside the fast-tail stat so numbers stay
+            # comparable with round-1 tables (which used all trials); the
+            # published rate remains the fast-3-of-5 median (additive noise)
+            "rate_all_trials": items_per_call / full_median,
+            "method": f"fast{keep}of{trials}",
         }
         if spread < target_spread:
             return best

@@ -108,12 +108,16 @@ def validate_modelnet40(data_dir: str, *, strict: bool = False) -> dict:
 
 def validate_shapenet(data_dir: str, classes: tuple[str, ...] = ()) -> dict:
     """Validate a ShapeNetCore PLY tree (reconstruction layout:
-    <data_dir>/<synset_id>/*.ply, in_out.py:23-36). Checks each class dir is
-    non-empty and a sample PLY parses to [2048, 3]."""
-    from samplenet_tpu.data.plyio import load_ply
+    <data_dir>/<synset_id>/*.ply, in_out.py:23-36).
+
+    EVERY file is checksummed (md5) and its header vertex count recorded —
+    the same per-file rigor as the ModelNet path, so a corrupted or truncated
+    shard fails here rather than mid-train. One sample PLY per class is
+    additionally fully parsed to [N, 3]."""
+    from samplenet_tpu.data.plyio import load_ply, ply_vertex_count
     from samplenet_tpu.data.shapenet import CATEGORY_TO_SYNSET
 
-    manifest: dict = {"root": data_dir, "classes": {}}
+    manifest: dict = {"root": data_dir, "classes": {}, "files": {}}
     names = classes or tuple(CATEGORY_TO_SYNSET)
     found_any = False
     for name in names:
@@ -124,13 +128,24 @@ def validate_shapenet(data_dir: str, classes: tuple[str, ...] = ()) -> dict:
         plys = sorted(f for f in os.listdir(d) if f.endswith(".ply"))
         if not plys:
             continue
+        counts = set()
+        for fname in plys:
+            path = os.path.join(d, fname)
+            n_pts = ply_vertex_count(path)   # raises on a truncated header
+            if n_pts <= 0:
+                raise ValueError(f"{path}: empty vertex element")
+            counts.add(n_pts)
+            manifest["files"][f"{syn}/{fname}"] = {
+                "md5": _md5(path), "points": n_pts,
+            }
         pts = load_ply(os.path.join(d, plys[0]))
         if pts.ndim != 2 or pts.shape[1] != 3:
             raise ValueError(f"{d}/{plys[0]}: expected [N, 3], got {pts.shape}")
         manifest["classes"][name] = {
             "synset": syn, "files": len(plys),
             "sample_points": int(pts.shape[0]),
-            "sample_md5": _md5(os.path.join(d, plys[0])),
+            "uniform_points": len(counts) == 1,
+            "sample_md5": manifest["files"][f"{syn}/{plys[0]}"]["md5"],
         }
         found_any = True
     if not found_any:

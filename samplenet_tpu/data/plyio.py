@@ -16,6 +16,23 @@ _PLY_TO_NP = {
 }
 
 
+def ply_vertex_count(path: str) -> int:
+    """Vertex count from the header alone (no data read) — lets ingest
+    validation count every file of a large tree cheaply."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unexpected EOF in header")
+            tokens = line.decode("ascii", "replace").strip().split()
+            if len(tokens) == 3 and tokens[0] == "element" and tokens[1] == "vertex":
+                return int(tokens[2])
+            if tokens and tokens[0] == "end_header":
+                raise ValueError(f"{path}: no vertex element")
+
+
 def load_ply(path: str) -> np.ndarray:
     """Reads the vertex element of a PLY file -> [N, num_props] float32
     (first three properties are x, y, z for all files the pipelines touch)."""

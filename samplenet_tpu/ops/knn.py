@@ -56,7 +56,8 @@ def group_point(points: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def query_ball_point(
-    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+    *, chunk: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
     """Radius neighbourhood grouping (tf_grouping.cpp:13-30 semantics).
 
@@ -64,25 +65,44 @@ def query_ball_point(
     (by index order); queries with fewer in-ball points repeat the first found
     point; queries with none fall back to index 0, count 0.
 
+    The query axis is processed in sequential chunks (`lax.map`), so the live
+    distance tile is [B, chunk, N] — never the full [B, M, N] (same doctrine
+    as ops/pairwise.py).
+
     Returns:
       (idx [B, M, nsample] int32, pts_cnt [B, M] int32).
     """
-    d2 = pairwise_sqdist(new_xyz, xyz)                      # [B, M, N]
-    in_ball = d2 < (radius * radius)
+    m = new_xyz.shape[1]
     n = xyz.shape[1]
-    order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    # rank in-ball points first, preserving index order; out-of-ball get n+order
-    key = jnp.where(in_ball, order, order + n)
-    _, idx_sorted = jax.lax.top_k(-key, nsample)            # smallest keys
-    idx_sorted = idx_sorted.astype(jnp.int32)
-    pts_cnt = jnp.sum(in_ball, axis=-1).astype(jnp.int32)
-    cnt_clip = jnp.clip(pts_cnt, 0, nsample)
-    # positions beyond the count repeat the first in-ball index (or 0 if none)
-    first = idx_sorted[..., :1]
-    first = jnp.where(pts_cnt[..., None] > 0, first, 0)
-    pos = jax.lax.broadcasted_iota(jnp.int32, idx_sorted.shape, 2)
-    idx = jnp.where(pos < cnt_clip[..., None], idx_sorted, first)
-    return idx, jnp.minimum(pts_cnt, nsample)
+
+    def one_chunk(queries):                                 # [B, mc, 3]
+        d2 = pairwise_sqdist(queries, xyz)                  # [B, mc, N]
+        in_ball = d2 < (radius * radius)
+        order = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        # in-ball points rank first, preserving index order
+        key = jnp.where(in_ball, order, order + n)
+        _, idx_sorted = jax.lax.top_k(-key, nsample)        # smallest keys
+        idx_sorted = idx_sorted.astype(jnp.int32)
+        pts_cnt = jnp.sum(in_ball, axis=-1).astype(jnp.int32)
+        cnt_clip = jnp.clip(pts_cnt, 0, nsample)
+        # positions beyond the count repeat the first in-ball index (or 0)
+        first = idx_sorted[..., :1]
+        first = jnp.where(pts_cnt[..., None] > 0, first, 0)
+        pos = jax.lax.broadcasted_iota(jnp.int32, idx_sorted.shape, 2)
+        idx = jnp.where(pos < cnt_clip[..., None], idx_sorted, first)
+        return idx, jnp.minimum(pts_cnt, nsample)
+
+    if m <= chunk:
+        return one_chunk(new_xyz)
+    mc = chunk
+    pad = (-m) % mc
+    q = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0))) if pad else new_xyz
+    chunks = (m + pad) // mc
+    q = jnp.moveaxis(q.reshape(q.shape[0], chunks, mc, 3), 1, 0)
+    idx, cnt = jax.lax.map(one_chunk, q)                    # [chunks, B, ...]
+    idx = jnp.moveaxis(idx, 0, 1).reshape(-1, chunks * mc, nsample)[:, :m]
+    cnt = jnp.moveaxis(cnt, 0, 1).reshape(-1, chunks * mc)[:, :m]
+    return idx, cnt
 
 
 def select_top_k(k: int, dist: jax.Array) -> tuple[jax.Array, jax.Array]:

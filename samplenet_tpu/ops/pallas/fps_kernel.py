@@ -30,26 +30,24 @@ def _fps_kernel(
     *,
     npoint: int,
     n: int,
-    use_given: bool,
 ):
+    # The plain (unseeded) variant is the seeded one with count == 1 and
+    # given[:, 0] = start index, so there is exactly one code path here.
     bb = pts_ref.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, n), 1)
     col_m = jax.lax.broadcasted_iota(jnp.int32, (bb, npoint), 1)
     px = pts_ref[:, 0, :]
     py = pts_ref[:, 1, :]
     pz = pts_ref[:, 2, :]
-    count = count_ref[:, 0] if use_given else None
+    count = count_ref[:, 0]
 
     def body(t, carry):
         dist, selvec = carry
         far = jnp.argmax(dist, axis=1).astype(jnp.int32)      # [BB]
-        if use_given:
-            gsel = jnp.sum(
-                jnp.where(col_m == t, given_ref[:, :], 0), axis=1
-            ).astype(jnp.int32)
-            sel = jnp.where(t < count, gsel, far)
-        else:
-            sel = far
+        gsel = jnp.sum(
+            jnp.where(col_m == t, given_ref[:, :], 0), axis=1
+        ).astype(jnp.int32)
+        sel = jnp.where(t < count, gsel, far)
         onehot = (col == sel[:, None]).astype(jnp.float32)    # [BB, N]
         sx = jnp.sum(onehot * px, axis=1)[:, None]            # [BB, 1]
         sy = jnp.sum(onehot * py, axis=1)[:, None]
@@ -67,8 +65,7 @@ def _fps_kernel(
     idx_ref[:, :] = selvec
 
 
-def _run(points, given_idx, given_count, npoint, block_b, use_given,
-         interpret):
+def _run(points, given_idx, given_count, npoint, block_b, interpret):
     points = jnp.asarray(points, jnp.float32)
     b, n, _ = points.shape
     bb = min(block_b, b)
@@ -80,8 +77,7 @@ def _run(points, given_idx, given_count, npoint, block_b, use_given,
         given_count = jnp.pad(given_count, ((0, pad_b),))
     bp = b + pad_b
 
-    kernel = functools.partial(
-        _fps_kernel, npoint=npoint, n=n, use_given=use_given)
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n)
     idx = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
@@ -119,7 +115,7 @@ def farthest_point_sample_pallas(
         start = jnp.asarray(start_idx, jnp.int32)
     given = jnp.zeros((b, npoint), jnp.int32).at[:, 0].set(start)
     count = jnp.ones((b,), jnp.int32)
-    return _run(points, given, count, npoint, block_b, True, interpret)
+    return _run(points, given, count, npoint, block_b, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "block_b", "interpret"))
@@ -133,5 +129,4 @@ def fps_from_given_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas seeded FPS with ops.fps.fps_from_given semantics."""
-    return _run(points, given_idx, given_count, npoint, block_b, True,
-                interpret)
+    return _run(points, given_idx, given_count, npoint, block_b, interpret)

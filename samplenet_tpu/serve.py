@@ -24,11 +24,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def build_sampler(args):
-    import jax
-
+def _net_and_vars(args):
     from samplenet_tpu.models import SampleNet
-    from samplenet_tpu.serving import BatchedSampler
     from samplenet_tpu.train import checkpoints
 
     ckpt = checkpoints.restore(args.ckpt)
@@ -37,6 +34,25 @@ def build_sampler(args):
         bottleneck_size=args.bottleneck_size,
         group_size=args.group_size, sigma_mode="tf")
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    return net, variables
+
+
+def build_sampler(args):
+    """Serving engine from either source: a flax checkpoint (rebuilds the
+    model and AOT-compiles) or a frozen StableHLO artifact (no model code —
+    the versioned deployment format, serving.save_exported)."""
+    if args.artifact:
+        from samplenet_tpu.serving import ArtifactSampler
+
+        sampler = ArtifactSampler(args.artifact)
+        args.num_points = sampler.num_points
+        args.max_batch = sampler.max_batch
+        args.num_out_points = sampler.header.get(
+            "num_out_points", args.num_out_points)
+        return sampler
+    from samplenet_tpu.serving import BatchedSampler
+
+    net, variables = _net_and_vars(args)
     return BatchedSampler(net, variables, max_batch=args.max_batch,
                           num_points=args.num_points)
 
@@ -91,7 +107,14 @@ def make_server(batcher, args, stats):
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser("serve")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="orbax checkpoint dir (rebuilds the model)")
+    p.add_argument("--artifact", default=None,
+                   help="frozen StableHLO artifact to serve from "
+                        "(no checkpoint/model code needed)")
+    p.add_argument("--export-artifact", default=None, metavar="PATH",
+                   help="with --ckpt: write a frozen serving artifact to "
+                        "PATH and exit")
     p.add_argument("--num-points", type=int, default=1024)
     p.add_argument("--num-out-points", type=int, default=32)
     p.add_argument("--bottleneck-size", type=int, default=128)
@@ -108,6 +131,20 @@ def main(argv=None, *, serve_forever=True):
     from samplenet_tpu.utils.jax_setup import setup as _jax_setup
     _jax_setup()
     args = parse_args(argv)
+    if not args.ckpt and not args.artifact:
+        raise SystemExit("serve: one of --ckpt / --artifact is required")
+    if args.export_artifact:
+        from samplenet_tpu.serving import save_exported
+
+        if not args.ckpt:
+            raise SystemExit("--export-artifact requires --ckpt")
+        net, variables = _net_and_vars(args)
+        save_exported(
+            args.export_artifact, net, variables, batch=args.max_batch,
+            num_points=args.num_points, freeze_params=True,
+            metadata={"num_out_points": args.num_out_points})
+        print(f"wrote serving artifact to {args.export_artifact}", flush=True)
+        return None, None
     sampler = build_sampler(args)
     batcher = MicroBatcher(sampler, max_wait_ms=args.max_wait_ms)
     stats = {"served": 0}

@@ -68,18 +68,36 @@ class BatchedSampler:
         out, b = handle
         return np.asarray(out)[:b]
 
-    def __call__(self, clouds: np.ndarray) -> np.ndarray:
+    def __call__(self, clouds: np.ndarray, *, window: int = 6) -> np.ndarray:
         b = len(clouds)
         if b > self.max_batch:
-            # pipeline the chunks: dispatch all, then fetch in order
-            handles = [self.dispatch(clouds[s : s + self.max_batch])
-                       for s in range(0, b, self.max_batch)]
-            return np.concatenate([self.fetch(h) for h in handles])
+            # pipeline the chunks with a BOUNDED in-flight window: fetch
+            # handle k-window while dispatching handle k, so device memory
+            # holds O(window) padded batches instead of all of them (an
+            # unbounded dispatch of a 1M-cloud call would enqueue ~12 GB).
+            from collections import deque
+
+            handles: deque = deque()
+            outs = []
+            for s in range(0, b, self.max_batch):
+                handles.append(self.dispatch(clouds[s : s + self.max_batch]))
+                if len(handles) >= window:
+                    outs.append(self.fetch(handles.popleft()))
+            while handles:
+                outs.append(self.fetch(handles.popleft()))
+            return np.concatenate(outs)
         return self.fetch(self.dispatch(clouds))
 
 
-def export_stablehlo(net, variables, *, batch: int, num_points: int) -> bytes:
-    """Serialize the eval forward to portable StableHLO bytes."""
+def export_stablehlo(net, variables, *, batch: int, num_points: int,
+                     freeze_params: bool = False) -> bytes:
+    """Serialize the eval forward to portable StableHLO bytes.
+
+    With `freeze_params` the weights are constant-folded INTO the module, so
+    the artifact is self-contained: reload gives fn(clouds) -> sampled with
+    no model code or checkpoint needed (the serve-daemon deployment format).
+    Without it, reload gives fn(variables, clouds) (weights hot-swappable).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -87,7 +105,11 @@ def export_stablehlo(net, variables, *, batch: int, num_points: int) -> bytes:
         return net.apply(v, x, training=False)[1]
 
     dummy = jax.ShapeDtypeStruct((batch, num_points, 3), jnp.float32)
-    exported = jax.export.export(jax.jit(fwd))(variables, dummy)
+    if freeze_params:
+        exported = jax.export.export(
+            jax.jit(lambda x: fwd(variables, x)))(dummy)
+    else:
+        exported = jax.export.export(jax.jit(fwd))(variables, dummy)
     return exported.serialize()
 
 
@@ -106,19 +128,23 @@ ARTIFACT_VERSION = 1
 
 
 def save_exported(path: str, net, variables, *, batch: int,
-                  num_points: int, metadata: dict | None = None) -> None:
+                  num_points: int, metadata: dict | None = None,
+                  freeze_params: bool = False) -> None:
     """Write a versioned sampler artifact: magic + format version + JSON
     header (shape contract, jax version, arbitrary metadata) + StableHLO
     bytes. The header travels with the artifact so a serving fleet can
-    check compatibility before loading."""
+    check compatibility before loading. `freeze_params` bakes the weights
+    in (self-contained deployment artifact, loadable by ArtifactSampler)."""
     import jax
 
     blob = export_stablehlo(net, variables, batch=batch,
-                            num_points=num_points)
+                            num_points=num_points,
+                            freeze_params=freeze_params)
     header = {
         "artifact_version": ARTIFACT_VERSION,
         "batch": batch,
         "num_points": num_points,
+        "frozen_params": freeze_params,
         "jax_version": jax.__version__,
         **(metadata or {}),
     }
@@ -147,6 +173,43 @@ def load_exported(path: str):
     header = json.loads(raw[off : off + hlen].decode())
     fn = load_stablehlo(raw[off + hlen :])
     return fn, header
+
+
+class ArtifactSampler:
+    """BatchedSampler-compatible front-end over a frozen-params artifact.
+
+    Serves directly from a versioned StableHLO artifact file — no model
+    code, flax, or checkpoint needed at the serving host; the shape contract
+    comes from the artifact header. Drop-in for MicroBatcher/serve.py."""
+
+    def __init__(self, path: str):
+        fn, header = load_exported(path)
+        if not header.get("frozen_params"):
+            raise ValueError(
+                f"{path}: artifact was exported without freeze_params — "
+                "it needs variables at call time; serve from a checkpoint "
+                "instead, or re-export with freeze_params=True")
+        self._fn = fn
+        self.header = header
+        self.max_batch = int(header["batch"])
+        self.num_points = int(header["num_points"])
+
+    def dispatch(self, clouds: np.ndarray):
+        import jax.numpy as jnp
+
+        b = len(clouds)
+        if b > self.max_batch:
+            raise ValueError(f"dispatch batch {b} > max_batch {self.max_batch}")
+        if clouds.shape[1] != self.num_points:
+            raise ValueError(
+                f"expected {self.num_points} points, got {clouds.shape[1]}")
+        if b < self.max_batch:
+            pad = np.repeat(clouds[-1:], self.max_batch - b, axis=0)
+            clouds = np.concatenate([clouds, pad])
+        return self._fn(jnp.asarray(clouds, jnp.float32)), b
+
+    fetch = BatchedSampler.fetch
+    __call__ = BatchedSampler.__call__
 
 
 # --------------------------------------------------------- request batching
@@ -180,6 +243,10 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, cloud: np.ndarray) -> Future:
+        if self._closed:
+            # after close() the drain thread has exited (or is exiting); an
+            # enqueued request would sit behind the None sentinel forever
+            raise RuntimeError("MicroBatcher.submit() after close()")
         if cloud.shape != (self._sampler.num_points, 3):
             raise ValueError(
                 f"expected [{self._sampler.num_points}, 3] cloud, "

@@ -66,7 +66,12 @@ def pcrnet_losses(
         est = register_iterative(pcrnet, pcr_vars, p0, p1, iterations)
         qnorm_loss = jnp.zeros(())  # per-pass diagnostic not meaningful here
     gt = QuaternionTransform(igt_vec)
-    p1_est = est.rotate(p0)
+    # Single-pass: rotation-only chamfer, reference parity (main.py:573 on the
+    # rotation-only QuaternionFixedDataset). Multi-pass: the iterated
+    # trajectory advances with est.apply (rotation + translation), so the
+    # loss must evaluate the COMPOSED estimate the same way or a nonzero
+    # predicted translation would score a different cloud than was iterated.
+    p1_est = est.rotate(p0) if iterations == 1 else est.apply(p0)
     c01, c10 = chamfer_distance(p1, p1_est)
     chamfer = jnp.mean(c01) + jnp.mean(c10)
     rot_err, norm_err, trans_err = est.compute_errors(gt)

@@ -154,6 +154,11 @@ def main(argv=None):
             if val["rot_err_mean"] < best["rot"]:
                 best.update(rot=val["rot_err_mean"], epoch=epoch,
                             params=jax.device_get(state.params))
+        if best["params"] is None:
+            # --epochs 0 or every epoch's val metric was NaN (NaN < inf is
+            # False): fall back to the final state so checkpointing and the
+            # test report still run
+            best.update(params=jax.device_get(state.params), epoch=-1)
         pcr_vars = {"params": best["params"]}
         logger.log(f"best epoch {best['epoch']}: "
                    f"val_rot={best['rot']:.2f}deg")
@@ -213,6 +218,13 @@ def main(argv=None):
             best.update(rot=report["rot_err_mean"], epoch=epoch,
                         report=report,
                         vars=jax.device_get(sampler_vars))
+    if best["vars"] is None:
+        # --epochs 0 / all-NaN validation: fall back to the final state
+        sampler_vars = {"params": state.params,
+                        "batch_stats": state.batch_stats}
+        best.update(vars=jax.device_get(sampler_vars), epoch=-1,
+                    report=evaluate(eval_step, sampler_vars, test,
+                                    args.batch_size))
     logger.log(f"best epoch {best['epoch']}: {best['report']}")
     if args.iterations != 1:
         it_eval = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,

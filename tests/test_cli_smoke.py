@@ -82,6 +82,36 @@ def test_modelnet40_ingest_dry_run(tdir):
     assert os.path.exists(f"{tdir}/cls40/ckpt")
 
 
+def test_shapenet_ingest_per_file_validation(tdir):
+    """Every PLY is checksummed and header-counted; a truncated file fails
+    validation instead of passing on a per-class sample."""
+    import numpy as np
+
+    from samplenet_tpu.data import ingest
+    from samplenet_tpu.data.plyio import save_ply
+    from samplenet_tpu.data.shapenet import CATEGORY_TO_SYNSET
+
+    rng = np.random.RandomState(0)
+    syn = CATEGORY_TO_SYNSET["chair"]
+    d = os.path.join(tdir, syn)
+    os.makedirs(d)
+    for i in range(3):
+        save_ply(os.path.join(d, f"m{i}.ply"),
+                 rng.randn(128, 3).astype(np.float32))
+    manifest = ingest.main(["shapenet", "--data-dir", tdir])
+    assert manifest["classes"]["chair"]["files"] == 3
+    assert manifest["classes"]["chair"]["uniform_points"]
+    assert len(manifest["files"]) == 3
+    for rec in manifest["files"].values():
+        assert rec["points"] == 128 and len(rec["md5"]) == 32
+    # truncate one file's header -> validation must raise, not pass
+    victim = os.path.join(d, "m1.ply")
+    with open(victim, "r+b") as f:
+        f.truncate(10)
+    with pytest.raises(ValueError):
+        ingest.validate_shapenet(tdir)
+
+
 def test_samplenet_resume(tdir):
     from samplenet_tpu.train import train_classifier, train_samplenet
 

@@ -219,6 +219,48 @@ class TestServing:
         with _pytest.raises(ValueError, match="not a samplenet-tpu"):
             serving.load_exported(str(bad))
 
+    def test_frozen_artifact_sampler(self, tmp_path):
+        """freeze_params artifact serves without model code or variables."""
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu import serving
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 64, 3).astype(np.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(x), training=False)
+        path = str(tmp_path / "frozen.sntpu")
+        serving.save_exported(path, net, v, batch=2, num_points=64,
+                              freeze_params=True,
+                              metadata={"num_out_points": 8})
+        sampler = serving.ArtifactSampler(path)
+        assert sampler.max_batch == 2 and sampler.num_points == 64
+        out = sampler(x)
+        exp = net.apply(v, jnp.asarray(x), training=False)[1]
+        np.testing.assert_allclose(out, np.asarray(exp), atol=1e-5)
+        # ragged + multi-chunk through the bounded pipeline window
+        big = np.concatenate([x, x, x[:1]])
+        assert sampler(big, window=2).shape == (5, 8, 3)
+        # an unfrozen artifact is rejected with a pointed message
+        import pytest as _pytest
+        upath = str(tmp_path / "unfrozen.sntpu")
+        serving.save_exported(upath, net, v, batch=2, num_points=64)
+        with _pytest.raises(ValueError, match="freeze_params"):
+            serving.ArtifactSampler(upath)
+
+    def test_microbatcher_submit_after_close_raises(self):
+        import pytest as _pytest
+
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu.serving import BatchedSampler, MicroBatcher
+        net = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        rng = np.random.RandomState(6)
+        x = rng.randn(2, 64, 3).astype(np.float32)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(x), training=False)
+        batcher = MicroBatcher(
+            BatchedSampler(net, v, max_batch=2, num_points=64))
+        batcher.close()
+        with _pytest.raises(RuntimeError, match="close"):
+            batcher.submit(x[0])
+
     def test_stablehlo_roundtrip(self):
         from samplenet_tpu.models import SampleNet
         from samplenet_tpu import serving

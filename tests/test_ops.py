@@ -110,6 +110,15 @@ class TestQueryBall:
                 for s in range(c):
                     assert d2[b, q, idx[b, q, s]] < radius ** 2
 
+    def test_chunked_matches_single_pass(self, clouds):
+        """Query-axis chunking (incl. a ragged tail) is bit-identical to the
+        one-chunk path — the [B, M, N] tensor is never materialised."""
+        x, y = clouds
+        idx1, cnt1 = ops.query_ball_point(1.0, 8, y, x)
+        idx2, cnt2 = ops.query_ball_point(1.0, 8, y, x, chunk=7)
+        np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+        np.testing.assert_array_equal(np.asarray(cnt1), np.asarray(cnt2))
+
 
 class TestFPS:
     def test_matches_oracle(self):

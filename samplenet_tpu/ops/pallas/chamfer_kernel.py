@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samplenet_tpu.ops.pallas.partitioning import batch_partition
+
 
 def _nn_direction_kernel(
     xt_ref,    # VMEM (1, 3, N1): query points, channel-major
@@ -53,18 +55,7 @@ def _nn_direction_kernel(
         idx_ref[0, 0, t * tile_x : (t + 1) * tile_x] = best_i
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_x", "chunk", "interpret")
-)
-def nn_direction(
-    x: jax.Array,  # [B, N1, 3] queries
-    y: jax.Array,  # [B, N2, 3] database
-    *,
-    tile_x: int = 512,
-    chunk: int = 512,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """(dist [B, N1], idx [B, N1]): NN of every x point in y."""
+def _nn_direction_impl(x, y, tile_x, chunk, interpret):
     b, n1, _ = x.shape
     n2 = y.shape[1]
     tx = min(tile_x, n1)
@@ -106,6 +97,30 @@ def nn_direction(
         interpret=interpret,
     )(xt, yt)
     return dist[:, 0, :n1], idx[:, 0, :n1]
+
+
+# SPMD: shard dim 0 (batch), replicate the point axes, run per-shard —
+# a batch-sharded caller keeps the kernel collective-free by construction.
+_nn_direction_cp = batch_partition(
+    _nn_direction_impl,
+    rule="b n c, b m c -> b n, b n",
+    static_argnums=(2, 3, 4),
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_x", "chunk", "interpret")
+)
+def nn_direction(
+    x: jax.Array,  # [B, N1, 3] queries
+    y: jax.Array,  # [B, N2, 3] database
+    *,
+    tile_x: int = 512,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(dist [B, N1], idx [B, N1]): NN of every x point in y."""
+    return _nn_direction_cp(x, y, tile_x, chunk, interpret)
 
 
 def nn_distance_pallas(

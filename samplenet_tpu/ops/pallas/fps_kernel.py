@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samplenet_tpu.ops.pallas.partitioning import batch_partition
+
 
 def _fps_kernel(
     pts_ref,    # VMEM (BB, 3, N)
@@ -65,7 +67,7 @@ def _fps_kernel(
     idx_ref[:, :] = selvec
 
 
-def _run(points, given_idx, given_count, npoint, block_b, interpret):
+def _run_impl(points, given_idx, given_count, npoint, block_b, interpret):
     points = jnp.asarray(points, jnp.float32)
     b, n, _ = points.shape
     bb = min(block_b, b)
@@ -96,6 +98,16 @@ def _run(points, given_idx, given_count, npoint, block_b, interpret):
     )(pts_t, given_idx.astype(jnp.int32),
       given_count.astype(jnp.int32)[:, None])
     return idx[:b]
+
+
+# SPMD: batch-shard dim 0 of (points, given_idx, given_count), replicate
+# the point/prefix axes, run the kernel on each device's batch shard —
+# both entry points below inherit multi-chip execution by construction.
+_run = batch_partition(
+    _run_impl,
+    rule="b n c, b k, b -> b k",
+    static_argnums=(3, 4, 5),
+)
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "block_b", "interpret"))

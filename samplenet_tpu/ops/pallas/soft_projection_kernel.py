@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samplenet_tpu.ops.pallas.partitioning import batch_partition
+
 
 def _soft_projection_kernel(
     sigma_ref,     # SMEM (1, 1): sigma^2
@@ -78,17 +80,8 @@ def _soft_projection_kernel(
     out_ref[0] = num / den[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "tile_m", "interpret"))
-def fused_soft_projection(
-    point_cloud: jax.Array,   # [B, N, 3]
-    query_cloud: jax.Array,   # [B, M, 3]
-    sigma: jax.Array,         # scalar sigma^2
-    *,
-    group_size: int = 7,
-    tile_m: int = 128,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused SoftProjection.project forward. Returns [B, M, 3]."""
+def _fused_soft_projection_impl(point_cloud, query_cloud, sigma,
+                                group_size, tile_m, interpret):
     b, n, _ = point_cloud.shape
     m = query_cloud.shape[1]
     tm = min(tile_m, m)
@@ -126,6 +119,32 @@ def fused_soft_projection(
         interpret=interpret,
     )(sigma_arr, pts_t, query_cloud.astype(jnp.float32))
     return out[:, :m], idx[:, :m]
+
+
+# SPMD: batch-shard the two clouds, replicate the scalar sigma (the empty
+# term in the rule), run per-shard — the training hot op stays local to
+# each device under a ('data', ...) mesh by construction.
+_fused_soft_projection_cp = batch_partition(
+    _fused_soft_projection_impl,
+    rule="b n c, b m c, -> b m c, b m k",
+    static_argnums=(3, 4, 5),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "tile_m", "interpret"))
+def fused_soft_projection(
+    point_cloud: jax.Array,   # [B, N, 3]
+    query_cloud: jax.Array,   # [B, M, 3]
+    sigma: jax.Array,         # scalar sigma^2
+    *,
+    group_size: int = 7,
+    tile_m: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused SoftProjection.project forward. Returns [B, M, 3]."""
+    return _fused_soft_projection_cp(
+        point_cloud, query_cloud, jnp.asarray(sigma, jnp.float32),
+        group_size, tile_m, interpret)
 
 
 def _soft_project_ref(point_cloud, query_cloud, sigma, idx):

@@ -92,6 +92,97 @@ class TestSharding:
                                    atol=2e-4, rtol=1e-4)
 
 
+class TestPallasUnderMesh:
+    """The partitioned Pallas kernels (ops/pallas/partitioning.py) under a
+    batch-sharded mesh: numerics identical to single-device, outputs stay
+    batch-sharded, and the compiled program contains NO all-gather — the
+    kernel is not silently replicated (the failure mode of an unwrapped
+    pallas_call under GSPMD)."""
+
+    def _mesh(self):
+        return make_mesh()
+
+    def test_nn_direction_sharded(self):
+        from samplenet_tpu.ops.pallas import nn_direction
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(16, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(16, 96, 3), jnp.float32)
+        ref_d, ref_i = nn_direction(x, y, interpret=True)
+        mesh = self._mesh()
+        with mesh:
+            xs, ys = shard_batch(mesh, (x, y))
+            f = jax.jit(lambda a, b: nn_direction(a, b, interpret=True))
+            d, i = f(xs, ys)
+            hlo = f.lower(xs, ys).compile().as_text()
+        assert d.sharding.spec == P("data")
+        assert "all-gather" not in hlo
+        np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    def test_fps_seeded_sharded(self):
+        from samplenet_tpu.ops.pallas import fps_from_given_pallas
+
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(rng.randn(16, 64, 3), jnp.float32)
+        given = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (16, 1))
+        cnt = jnp.asarray(rng.randint(1, 5, 16), jnp.int32)
+        ref = fps_from_given_pallas(8, pts, given, cnt, interpret=True)
+        mesh = self._mesh()
+        with mesh:
+            ps, gs, cs = shard_batch(mesh, (pts, given, cnt))
+            f = jax.jit(lambda p, g, c: fps_from_given_pallas(
+                8, p, g, c, interpret=True))
+            idx = f(ps, gs, cs)
+            hlo = f.lower(ps, gs, cs).compile().as_text()
+        assert idx.sharding.spec == P("data")
+        assert "all-gather" not in hlo
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+    def test_soft_project_grad_sharded(self):
+        """The differentiable fused soft projection: forward kernel
+        partitioned, custom-VJP backward auto-partitioned; gradients for
+        clouds AND sigma match single-device."""
+        from samplenet_tpu.ops.pallas import soft_project
+
+        rng = np.random.RandomState(2)
+        p = jnp.asarray(rng.randn(16, 64, 3), jnp.float32)
+        q = jnp.asarray(rng.randn(16, 8, 3), jnp.float32)
+        sig = jnp.float32(0.3)
+
+        def loss(p, q, s):
+            return jnp.sum(soft_project(p, q, s, 4, 128, True) ** 2)
+
+        gfn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        ref = gfn(p, q, sig)
+        mesh = self._mesh()
+        with mesh:
+            ps, qs = shard_batch(mesh, (p, q))
+            out = gfn(ps, qs, sig)
+        for o, r in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=1e-5)
+
+    def test_eval_matching_sort_paths_on_mesh(self):
+        """nn_match_from_clouds at m > 128 under the mesh: sort-based unique
+        + sort-based compaction + seeded FPS, parity with single-device."""
+        from samplenet_tpu.ops.matching import nn_match_from_clouds
+
+        rng = np.random.RandomState(3)
+        full = jnp.asarray(rng.randn(8, 256, 3), jnp.float32)
+        simp = jnp.asarray(rng.randn(8, 144, 3), jnp.float32)
+        ref, ref_idx = jax.jit(
+            lambda f, s: nn_match_from_clouds(f, s, 144))(full, simp)
+        mesh = self._mesh()
+        with mesh:
+            fs, ss = shard_batch(mesh, (full, simp))
+            out, idx = jax.jit(
+                lambda f, s: nn_match_from_clouds(f, s, 144))(fs, ss)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+
 class TestDryrun:
     def test_graft_entry_dryrun(self):
         import __graft_entry__ as g

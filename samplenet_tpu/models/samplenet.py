@@ -61,11 +61,12 @@ class SimplificationNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
-        feats = PointMLP(
+        # pool_max fuses the chain + global max; at eval on TPU it runs the
+        # one-VMEM-pass Pallas kernel (84% of the eval forward otherwise)
+        global_feat = PointMLP(
             features=(*self.conv_widths, self.bottleneck_size), name="convs",
             bn_momentum=self.bn_momentum, dtype=self.dtype,
-        )(x, training=training)
-        global_feat = jnp.max(feats, axis=1)  # [B, bottleneck]
+        )(x, training=training, pool_max=True)  # [B, bottleneck]
         y = MLPHead(features=self.fc_widths, use_bn=self.fc_bn, name="fcs",
                     bn_momentum=self.bn_momentum, dtype=self.dtype,
                     activate_final=True)(global_feat, training=training)

@@ -33,9 +33,58 @@ class PointMLP(nn.Module):
     # compute dtype: bf16 halves MXU time; params stay f32 (flax casts
     # activations/weights per-op and accumulates in f32 via XLA defaults)
     dtype: Any = None
+    # fused eval kernel for __call__(pool_max=True): the whole chain + max
+    # runs in one VMEM pass (ops/pallas/point_mlp_kernel.py; 3.3x the XLA
+    # path at the headline eval shape). None = auto: on for TPU backends.
+    use_pallas: bool | None = None
+
+    def _fused_ok(self, x, training, pool_max) -> bool:
+        if not pool_max or training or not self.use_bn \
+                or not self.activate_final or self.dtype is not None \
+                or x.ndim != 3:
+            return False
+        if self.use_pallas is not None:
+            return self.use_pallas
+        from samplenet_tpu.ops.dispatch import pallas_backend_ok
+
+        return pallas_backend_ok() and x.shape[1] >= 128
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, training: bool = False, pool_max: bool = False
+    ) -> jnp.ndarray:
+        """Per-point MLP chain; with `pool_max` returns the global max over
+        the points axis ([B, C_out]) — at eval on TPU this dispatches the
+        fused Pallas kernel (BN folded into each layer's affine, no
+        inter-layer HBM traffic)."""
+        if self._fused_ok(x, training, pool_max):
+            from samplenet_tpu.ops.pallas.point_mlp_kernel import (
+                fold_bn_affine,
+                point_mlp_max,
+            )
+
+            # materialize the (identical) param tree via dummy calls — DCE'd
+            # under jit — then read the values off the bound submodules
+            wbs = []
+            h = jnp.zeros((1, 1, x.shape[-1]), jnp.float32)
+            for i, f in enumerate(self.features):
+                dense = nn.Dense(f, name=f"dense_{i}")
+                h = dense(h)
+                bn = nn.BatchNorm(use_running_average=True,
+                                  momentum=self.bn_momentum,
+                                  name=f"bn_{i}")
+                h = bn(h)
+                dp = dense.variables["params"]
+                bp = bn.variables["params"]
+                bs = bn.variables["batch_stats"]
+                w, b = fold_bn_affine(dp["kernel"], dp["bias"], bp["scale"],
+                                      bp["bias"], bs["mean"], bs["var"])
+                wbs += [w, b]
+            from samplenet_tpu.ops.dispatch import pallas_backend_ok
+
+            # explicit use_pallas=True off-TPU runs the interpreter (tests)
+            return point_mlp_max(x, tuple(wbs),
+                                 interpret=not pallas_backend_ok())
         n = len(self.features)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
@@ -50,6 +99,8 @@ class PointMLP(nn.Module):
                 )(x)
             if self.activate_final or not is_last:
                 x = nn.relu(x)
+        if pool_max:
+            return jnp.max(x, axis=1)
         return x
 
 

@@ -26,36 +26,40 @@ from samplenet_tpu.ops.pallas.partitioning import batch_partition
 
 
 def _nn_direction_kernel(
-    xt_ref,    # VMEM (1, 3, N1): query points, channel-major
-    yt_ref,    # VMEM (1, 3, N2): database points, channel-major
-    dist_ref,  # VMEM (1, 1, N1)
-    idx_ref,   # VMEM (1, 1, N1)
+    xt_ref,    # VMEM (BB, 3, N1): query points, channel-major
+    yt_ref,    # VMEM (BB, 3, N2): database points, channel-major
+    dist_ref,  # VMEM (BB, 1, N1)
+    idx_ref,   # VMEM (BB, 1, N1)
     *,
     n_queries: int,
     n_points: int,
     tile_x: int,
     chunk: int,
 ):
-    for t in range(n_queries // tile_x):
-        x = xt_ref[0, :, t * tile_x : (t + 1) * tile_x]  # [3, TX]
-        best_d = jnp.full((tile_x,), jnp.inf, jnp.float32)
-        best_i = jnp.zeros((tile_x,), jnp.int32)
-        for c in range(n_points // chunk):
-            y = yt_ref[0, :, c * chunk : (c + 1) * chunk]  # [3, CH]
-            d2 = jnp.zeros((tile_x, chunk), jnp.float32)
-            for ax in range(3):
-                diff = x[ax, :][:, None] - y[ax, :][None, :]
-                d2 = d2 + diff * diff
-            c_min = jnp.min(d2, axis=1)
-            c_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + c * chunk
-            take = c_min < best_d
-            best_d = jnp.where(take, c_min, best_d)
-            best_i = jnp.where(take, c_arg, best_i)
-        dist_ref[0, 0, t * tile_x : (t + 1) * tile_x] = best_d
-        idx_ref[0, 0, t * tile_x : (t + 1) * tile_x] = best_i
+    # several clouds per grid cell (static unroll): at small query counts
+    # (m=32 eval matching) a 1-cloud cell is dominated by per-cell overhead —
+    # 1024 cells cost ~330 us while the actual compare work is ~30 us
+    for bi in range(xt_ref.shape[0]):
+        for t in range(n_queries // tile_x):
+            x = xt_ref[bi, :, t * tile_x : (t + 1) * tile_x]  # [3, TX]
+            best_d = jnp.full((tile_x,), jnp.inf, jnp.float32)
+            best_i = jnp.zeros((tile_x,), jnp.int32)
+            for c in range(n_points // chunk):
+                y = yt_ref[bi, :, c * chunk : (c + 1) * chunk]  # [3, CH]
+                d2 = jnp.zeros((tile_x, chunk), jnp.float32)
+                for ax in range(3):
+                    diff = x[ax, :][:, None] - y[ax, :][None, :]
+                    d2 = d2 + diff * diff
+                c_min = jnp.min(d2, axis=1)
+                c_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + c * chunk
+                take = c_min < best_d
+                best_d = jnp.where(take, c_min, best_d)
+                best_i = jnp.where(take, c_arg, best_i)
+            dist_ref[bi, 0, t * tile_x : (t + 1) * tile_x] = best_d
+            idx_ref[bi, 0, t * tile_x : (t + 1) * tile_x] = best_i
 
 
-def _nn_direction_impl(x, y, tile_x, chunk, interpret):
+def _nn_direction_impl(x, y, tile_x, chunk, block_b, interpret):
     b, n1, _ = x.shape
     n2 = y.shape[1]
     tx = min(tile_x, n1)
@@ -72,22 +76,34 @@ def _nn_direction_impl(x, y, tile_x, chunk, interpret):
                      constant_values=1e18)
     n1p, n2p = n1 + pad_x, n2 + pad_y
 
+    # batch block kept at 1 by default: measured on v5e, 1-cloud grid cells
+    # pipeline BETTER than multi-cloud blocks (329 us vs 446 us at bb=8 for
+    # the m=32 eval matching shape — the unrolled per-element loop
+    # serialises what independent cells overlap). Cap bb by the VMEM
+    # footprint of the unrolled [tx, ch] distance tiles for callers that
+    # do ask for blocking.
+    bb = max(1, min(block_b,
+                    (1 << 23) // max(tx * ch * 4, 1),
+                    (1 << 22) // max(12 * (n1p + n2p), 1)))
+    while b % bb:
+        bb -= 1
+
     kernel = functools.partial(
         _nn_direction_kernel, n_queries=n1p, n_points=n2p, tile_x=tx, chunk=ch
     )
     dist, idx = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, 3, n1p), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 3, n1p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, n2p), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 3, n2p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1, n1p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1, n1p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -104,12 +120,12 @@ def _nn_direction_impl(x, y, tile_x, chunk, interpret):
 _nn_direction_cp = batch_partition(
     _nn_direction_impl,
     rule="b n c, b m c -> b n, b n",
-    static_argnums=(2, 3, 4),
+    static_argnums=(2, 3, 4, 5),
 )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_x", "chunk", "interpret")
+    jax.jit, static_argnames=("tile_x", "chunk", "block_b", "interpret")
 )
 def nn_direction(
     x: jax.Array,  # [B, N1, 3] queries
@@ -117,10 +133,11 @@ def nn_direction(
     *,
     tile_x: int = 512,
     chunk: int = 512,
+    block_b: int = 1,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """(dist [B, N1], idx [B, N1]): NN of every x point in y."""
-    return _nn_direction_cp(x, y, tile_x, chunk, interpret)
+    return _nn_direction_cp(x, y, tile_x, chunk, block_b, interpret)
 
 
 def nn_distance_pallas(

@@ -116,7 +116,7 @@ def farthest_point_sample_pallas(
     points: jax.Array,
     *,
     start_idx: jax.Array | int = 0,
-    block_b: int = 64,
+    block_b: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas FPS with ops.fps.farthest_point_sample semantics."""
@@ -137,7 +137,7 @@ def fps_from_given_pallas(
     given_idx: jax.Array,
     given_count: jax.Array,
     *,
-    block_b: int = 64,
+    block_b: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas seeded FPS with ops.fps.fps_from_given semantics."""

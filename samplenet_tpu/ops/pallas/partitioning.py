@@ -30,17 +30,20 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _batch_spec(arg_shapes):
+def _batch_spec(arg_shapes, replicated_argnums):
     """The dim-0 partition spec shared by the batched operands: the first
     non-trivial dim-0 spec found (None -> replicated everywhere)."""
-    for a in arg_shapes:
+    for i, a in enumerate(arg_shapes):
+        if i in replicated_argnums:
+            continue
         spec = a.sharding.spec if getattr(a, "shape", ()) else ()
         if spec and spec[0] is not None:
             return spec[0]
     return None
 
 
-def batch_partition(impl, *, rule: str, static_argnums: tuple[int, ...]):
+def batch_partition(impl, *, rule: str, static_argnums: tuple[int, ...],
+                    replicated_argnums: tuple[int, ...] = ()):
     """Wraps a batch-leading kernel entry point in custom_partitioning.
 
     Args:
@@ -52,6 +55,8 @@ def batch_partition(impl, *, rule: str, static_argnums: tuple[int, ...]):
         "b n c, b m c -> b n, b n" (a rank-0 operand is an empty term).
       static_argnums: positions of the static config args (must be the
         TRAILING positions of impl's signature).
+      replicated_argnums: tensor operands that are NOT batch-leading (e.g.
+        weight matrices shared by every batch element) — forced replicated.
 
     Returns the partitioned callable (same positional signature as impl).
     """
@@ -61,12 +66,14 @@ def batch_partition(impl, *, rule: str, static_argnums: tuple[int, ...]):
     def _shardings(mesh, arg_shapes, result_shape):
         import jax
 
-        b = _batch_spec(arg_shapes)
+        b = _batch_spec(arg_shapes, replicated_argnums)
         batched = NamedSharding(mesh, P(b))
         scalar = NamedSharding(mesh, P())
         arg_sh = tuple(
-            batched if getattr(a, "shape", ()) else scalar
-            for a in arg_shapes
+            batched
+            if getattr(a, "shape", ()) and i not in replicated_argnums
+            else scalar
+            for i, a in enumerate(arg_shapes)
         )
         out_sh = jax.tree.map(
             lambda r: batched if r.shape else scalar, result_shape

@@ -155,3 +155,91 @@ class TestFPSKernel:
         got = farthest_point_sample_pallas(8, pts, block_b=4, interpret=True)
         exp = farthest_point_sample(8, pts)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+class TestPointMLPKernel:
+    """Fused per-point-MLP + max kernel vs the flax eval path."""
+
+    def _setup(self, feats=(64, 64, 64, 128, 128), b=8, n=160):
+        from samplenet_tpu.nn.layers import PointMLP
+
+        m = PointMLP(features=feats)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x[:2], training=False)
+        # non-trivial BN statistics so the affine fold is actually exercised
+        bs = jax.tree.map(
+            lambda a: a + 0.1 * np.random.RandomState(1)
+            .randn(*a.shape).astype(np.float32), v["batch_stats"])
+        return m, {"params": v["params"], "batch_stats": bs}, x
+
+    def test_kernel_matches_folded_eval(self):
+        from samplenet_tpu.ops.pallas.point_mlp_kernel import (
+            fold_bn_affine, point_mlp_max)
+
+        m, v, x = self._setup()
+        ref = jnp.max(m.apply(v, x, training=False), axis=1)
+        wbs = []
+        for i in range(5):
+            d = v["params"][f"dense_{i}"]
+            bn = v["params"][f"bn_{i}"]
+            st = v["batch_stats"][f"bn_{i}"]
+            w, bias = fold_bn_affine(d["kernel"], d["bias"], bn["scale"],
+                                     bn["bias"], st["mean"], st["var"])
+            wbs += [w, bias]
+        out = point_mlp_max(x, tuple(wbs), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_pool_max_dispatch_parity_and_param_tree(self):
+        """PointMLP(use_pallas=True) pool_max path: same param tree, same
+        numerics as the XLA path (the dummy-materialisation trick must
+        produce an identical checkpoint structure)."""
+        from samplenet_tpu.nn.layers import PointMLP
+
+        m, v, x = self._setup()
+        fused = PointMLP(features=(64, 64, 64, 128, 128), use_pallas=True)
+        v2 = fused.init(jax.random.PRNGKey(0), x[:2], training=False,
+                        pool_max=True)
+        ref_tree = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v)
+        got_tree = jax.tree.map(lambda a: (a.shape, str(a.dtype)),
+                                {"params": v2["params"],
+                                 "batch_stats": v2["batch_stats"]})
+        assert ref_tree == got_tree
+        ref = jnp.max(m.apply(v, x, training=False), axis=1)
+        out = fused.apply(v, x, training=False, pool_max=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        # training path ignores the kernel (batch-stat BN not foldable)
+        tr, _ = fused.apply(v, x, training=True, pool_max=True,
+                            mutable=["batch_stats"])
+        tr_ref, _ = m.apply(v, x, training=True, pool_max=True,
+                            mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(tr), np.asarray(tr_ref),
+                                   atol=1e-5)
+
+    def test_samplenet_eval_forward_with_fused_mlp(self):
+        """Full SampleNet eval forward with the fused simplification MLP
+        matches the plain path bit-for-bit in indices."""
+        from samplenet_tpu.models import SampleNet
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(4, 256, 3), jnp.float32)
+        plain = SampleNet(num_out_points=16, bottleneck_size=64, group_size=4)
+        v = plain.init(jax.random.PRNGKey(0), x[:2], training=False)
+        simp_ref, match_ref = plain.apply(v, x, training=False)
+        # monkeypatch dispatch so the fused path runs (interpret) on CPU
+        import samplenet_tpu.nn.layers as layers_mod
+
+        orig = layers_mod.PointMLP._fused_ok
+        layers_mod.PointMLP._fused_ok = (
+            lambda self, x, training, pool_max:
+            pool_max and not training and x.ndim == 3)
+        try:
+            simp, match = plain.apply(v, x, training=False)
+        finally:
+            layers_mod.PointMLP._fused_ok = orig
+        np.testing.assert_allclose(np.asarray(simp), np.asarray(simp_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(match), np.asarray(match_ref),
+                                   atol=1e-3)

@@ -50,6 +50,32 @@ def graft(target_params: dict, source_params: dict, at: str) -> dict:
     return out
 
 
+def save_sharded(path: str, tree: Any, *, force: bool = True) -> None:
+    """Multi-process-safe save of a pytree of (possibly) globally-sharded
+    jax.Arrays: EVERY process must call this; orbax writes each array's
+    shards from the host that owns them — no device_get host gather, so it
+    scales to arrays larger than one host's memory (the multi-host story
+    the reference never had, SURVEY.md section 2c)."""
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), tree, force=force)
+
+
+def restore_sharded(path: str, target: Any) -> Any:
+    """Restore a sharded checkpoint onto the shardings of `target` — a
+    pytree of jax.Arrays or ShapeDtypeStructs carrying `.sharding`. The
+    target mesh may have a DIFFERENT shape or process count than the mesh
+    the checkpoint was saved from; orbax reshards on read."""
+    import jax
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=x.sharding),
+        target)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(abstract)
+    return ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(abstract, restore_args=restore_args))
+
+
 def save_train_state(path: str, state, *, extras: dict | None = None) -> None:
     """Full training snapshot: params, batch_stats, opt_state, step
     (the torch snap_best/snap_last contract, registration/main.py:201-218)."""

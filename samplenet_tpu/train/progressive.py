@@ -167,6 +167,53 @@ def evaluate_prefixes(
     return {s: float(np.mean(np.concatenate(v))) for s, v in correct.items()}
 
 
+def evaluate_ae_prefix_nre(
+    sampler: SampleNet, state, ae, ae_vars: dict, data, sizes,
+    batch_size: int,
+) -> dict[int, dict[str, float]]:
+    """Prefix-NRE curve of a progressive sampler against a frozen AE
+    (reconstruction/sampler/evaluate_samplenet_progressive.py:92-153): one
+    inference pass produces the ORDERED matched cloud at max(sizes); each
+    prefix slice is reconstructed by the AE and scored as
+    NRE(s) = CD(recon from first s samples) / CD(recon from full input).
+
+    Returns {size: {"loss_sampled", "loss_full", "nre"}}.
+    """
+    from samplenet_tpu.data import iterate_batches_padded
+    from samplenet_tpu.models.autoencoder import ae_per_cloud_chamfer
+
+    m_max = max(sizes)
+    infer = make_progressive_infer_step(sampler, m_max)
+
+    @jax.jit
+    def recon_full_loss(x):
+        recon = ae.apply(ae_vars, x, training=False)
+        return ae_per_cloud_chamfer(recon, x)
+
+    @jax.jit
+    def recon_prefix_loss(prefix, x):
+        recon = ae.apply(ae_vars, prefix, training=False)
+        return ae_per_cloud_chamfer(recon, x)
+
+    labels = np.zeros(len(data), np.int32)
+    per_size: dict[int, list] = {s: [] for s in sizes}
+    full_losses: list[np.ndarray] = []
+    for bx, _, real in iterate_batches_padded(data, labels, batch_size):
+        x = jnp.asarray(bx)
+        _, _, _, matched = infer(state, x)
+        full_losses.append(np.asarray(recon_full_loss(x))[:real])
+        for s in sizes:
+            ls = recon_prefix_loss(matched[:, :s], x)
+            per_size[s].append(np.asarray(ls)[:real])
+    full = float(np.concatenate(full_losses).mean())
+    out = {}
+    for s in sizes:
+        sampled = float(np.concatenate(per_size[s]).mean())
+        out[s] = {"loss_sampled": sampled, "loss_full": full,
+                  "nre": sampled / max(full, 1e-12)}
+    return out
+
+
 # ------------------------------------------------------------- AE variant
 
 @dataclass

@@ -186,6 +186,23 @@ def main(argv=None):
                    " ".join(f"{k}={v:.5f}" for k, v in mean.items()) +
                    f" | NRE={report['nre']:.4f}")
         logger.metrics(int(state.step), nre=report["nre"], **mean)
+    if args.progressive:
+        # prefix-NRE curve from the single ordered checkpoint — the
+        # progressive track's quality evidence (reconstruction/sampler/
+        # evaluate_samplenet_progressive.py:92-153)
+        import json
+
+        from samplenet_tpu.train.progressive import evaluate_ae_prefix_nre
+
+        curve = evaluate_ae_prefix_nre(
+            sampler, state, ae, ae_vars, test_data, pcfg.sizes,
+            args.batch_size)
+        for s in pcfg.sizes:
+            logger.log(f"prefix {s}: NRE={curve[s]['nre']:.4f} "
+                       f"(cd={curve[s]['loss_sampled']:.5f} vs "
+                       f"full={curve[s]['loss_full']:.5f})")
+        with open(f"{log_dir}/prefix_nre.json", "w") as f:
+            json.dump({str(s): curve[s] for s in pcfg.sizes}, f, indent=1)
     checkpoints.save(f"{log_dir}/ckpt", {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--pcrnet-ckpt", default="log/pcrnet/ckpt")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fps-eval-sizes", default="",
+                   help="comma list of m values; phase pcrnet reports the "
+                        "FPS baseline at each (multi-m quality tables)")
     return p.parse_args(argv)
 
 
@@ -162,24 +165,36 @@ def main(argv=None):
         pcr_vars = {"params": best["params"]}
         logger.log(f"best epoch {best['epoch']}: "
                    f"val_rot={best['rot']:.2f}deg")
-        # non-learned FPS baseline sampling (registration/main.py:485-499)
+        # non-learned FPS baseline sampling (registration/main.py:485-499),
+        # at the config m plus any --fps-eval-sizes (multi-m tables)
         from samplenet_tpu.models.samplenet import FPSSampler
 
-        fps = FPSSampler(num_out_points=cfg.num_out_points, permute=False)
-        fps_vars = fps.init(jax.random.PRNGKey(0),
-                            jnp.zeros((2, cfg.num_points, 3)))
+        fps_sizes = sorted({cfg.num_out_points} | {
+            int(s) for s in args.fps_eval_sizes.split(",") if s.strip()})
+        reports: dict[str, dict] = {"best_val_rot": best["rot"],
+                                    "best_epoch": best["epoch"]}
         for its in sorted({1, args.iterations}):
             eval_step = make_eval_step(None, model, pcr_vars, cfg,
                                        iterations=its)
             report = evaluate(eval_step, None, test, args.batch_size)
             logger.log(f"test (full clouds, iterations={its}): {report}")
-            fps_eval = make_eval_step(fps, model, pcr_vars, cfg,
-                                      iterations=its)
-            report_fps = evaluate(fps_eval, fps_vars, test, args.batch_size)
-            logger.log(f"test (FPS-sampled {cfg.num_out_points}, "
-                       f"iterations={its}): {report_fps}")
+            reports[f"full_iter{its}"] = report
+            for m in fps_sizes:
+                fps = FPSSampler(num_out_points=m, permute=False)
+                fps_vars = fps.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((2, cfg.num_points, 3)))
+                fps_eval = make_eval_step(fps, model, pcr_vars, cfg,
+                                          iterations=its)
+                report_fps = evaluate(fps_eval, fps_vars, test,
+                                      args.batch_size)
+                logger.log(f"test (FPS-sampled {m}, "
+                           f"iterations={its}): {report_fps}")
+                reports[f"fps{m}_iter{its}"] = report_fps
         checkpoints.save(f"{log_dir}/ckpt", {"params": pcr_vars["params"]})
         logger.log(f"saved checkpoint to {log_dir}/ckpt")
+        import json as _json
+        with open(f"{log_dir}/report.json", "w") as f:
+            _json.dump(reports, f, indent=1)
         return state
 
     # phase == samplenet
@@ -226,16 +241,21 @@ def main(argv=None):
                     report=evaluate(eval_step, sampler_vars, test,
                                     args.batch_size))
     logger.log(f"best epoch {best['epoch']}: {best['report']}")
+    reports = {"best": best["report"], "best_epoch": best["epoch"]}
     if args.iterations != 1:
         it_eval = make_eval_step(sampler, pcrnet_model, pcr_vars, cfg,
                                  iterations=args.iterations)
         report = evaluate(it_eval, best["vars"], test, args.batch_size)
         logger.log(f"best snapshot at iterations={args.iterations}: {report}")
+        reports[f"best_iter{args.iterations}"] = report
     checkpoints.save(f"{log_dir}/ckpt", {
         "params": best["vars"]["params"],
         "batch_stats": best["vars"]["batch_stats"],
     })
     logger.log(f"saved checkpoint to {log_dir}/ckpt")
+    import json as _json
+    with open(f"{log_dir}/report.json", "w") as f:
+        _json.dump(reports, f, indent=1)
     return state
 
 

@@ -7,8 +7,12 @@ DCN). Validates the parallel/input_pipeline.py path the single-process
 tests cannot reach: `jax.make_array_from_process_local_data` assembling a
 globally-sharded batch from per-host shards (SURVEY.md section 2c).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <coord_addr>
-Prints one line per global batch: "batch <i> sum <v>", then "WORKER_OK".
+Usage: python multihost_worker.py <proc_id> <nproc> <coord_addr> [mode] [dir]
+mode "pipeline" (default): input-pipeline reductions, prints
+  "batch <i> sum <v>" lines then "WORKER_OK".
+mode "train": REAL sampler train steps on the global mesh + a sharded
+  orbax save (every process writes its shards), prints "loss <v>" then
+  "WORKER_OK". <dir> is the shared checkpoint directory.
 """
 
 from __future__ import annotations
@@ -19,14 +23,85 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def train_mode(nproc: int, ckpt_dir: str) -> None:
+    """2 real optimiser steps of the classification sampler track over the
+    global mesh, host-sharded input with a remainder (host_shard drops the
+    tail), then a SHARDED checkpoint save — exercises the multi-host path
+    end-to-end, not just reductions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+    from samplenet_tpu.parallel.input_pipeline import global_batches
+    from samplenet_tpu.parallel.mesh import make_mesh
+    from samplenet_tpu.train import checkpoints
+    from samplenet_tpu.train.classification import (
+        SampleNetConfig,
+        create_samplenet_state,
+        make_samplenet_train_step,
+    )
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    batch, num_points = n_dev * 2, 64
+    scfg = SampleNetConfig(num_out_points=8, bottleneck_size=32,
+                           group_size=4, batch_size=batch)
+    sampler, state = create_samplenet_state(
+        scfg, num_points, jax.random.PRNGKey(0))
+    classifier = PointNetClassifier(num_classes=4)
+    c_vars = classifier.init(jax.random.PRNGKey(1),
+                             jnp.zeros((2, 8, 3), jnp.float32),
+                             training=False)
+    rep = NamedSharding(mesh, P())
+    put = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, t)
+    with mesh:
+        state = state.replace(params=put(state.params),
+                              batch_stats=put(state.batch_stats),
+                              opt_state=put(state.opt_state))
+        c_vars = put(c_vars)
+        step = make_samplenet_train_step(sampler, classifier, c_vars, scfg,
+                                         augment_data=False)
+        # total deliberately NOT divisible by nproc: host_shard drops the
+        # remainder rows; 2 full global batches remain
+        total = 2 * batch + 3
+        rng = np.random.RandomState(0)
+        data = rng.randn(total, num_points, 3).astype(np.float32)
+        labels = (np.arange(total) % 4).astype(np.int32)
+        losses = []
+        for bx, by in global_batches(mesh, data, labels, batch,
+                                     shuffle=False):
+            state, metrics = step(state, bx, by, jax.random.PRNGKey(2))
+            losses.append(metrics["loss"])
+        assert len(losses) == 2, len(losses)
+        for l in losses:
+            v = float(l)
+            assert np.isfinite(v), v
+            print(f"loss {v:.6f}", flush=True)
+        # sharded save: every process writes its own shards (no host gather)
+        checkpoints.save_sharded(ckpt_dir, {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+        })
+    print("WORKER_OK", flush=True)
+
+
 def main() -> None:
     proc_id, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "pipeline"
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=nproc, process_id=proc_id)
+
+    if mode == "train":
+        train_mode(nproc, sys.argv[5])
+        return
 
     import jax.numpy as jnp
     import numpy as np

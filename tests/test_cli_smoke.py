@@ -194,6 +194,14 @@ def test_reconstruction_progressive(tdir):
         "--num-out-points", "16", "--min-num-out-points", "8",
         "--group-size", "4", "--ae-ckpt", f"{tdir}/ae/ckpt",
         "--log-dir", f"{tdir}/aesnp"])
+    # progressive quality evidence: the prefix-NRE curve is produced from
+    # the single ordered checkpoint with one entry per nested size
+    import json
+
+    curve = json.load(open(f"{tdir}/aesnp/prefix_nre.json"))
+    assert sorted(curve) == ["16", "8"]
+    for rec in curve.values():
+        assert rec["nre"] > 0 and rec["loss_full"] > 0
 
 
 def test_eval_cli_classifier_infer_fromfiles(tdir):

@@ -57,6 +57,11 @@ def parse_args(argv=None):
                         "placeholders, autoencoder.py:121-129) and, in the "
                         "samplenet phase, doubles the size-scaled "
                         "simplification weight (2w, is_denoising)")
+    p.add_argument("--outlier-ratio", type=float, default=0.0,
+                   help="fraction of point slots replaced with uniform "
+                        "[-1,1] outliers on the model INPUT (clean target "
+                        "stays the score) — heavy-corruption robustness "
+                        "protocol")
     p.add_argument("--progressive", action="store_true",
                    help="nested-size sampler training: one checkpoint "
                         "serves every ratio (samplenet_progressive_"
@@ -80,9 +85,20 @@ def main(argv=None):
     dummy_labels = np.zeros(len(train_data), np.int32)
 
     sigma = args.denoising_sigma
+    outlier = args.outlier_ratio
+    corrupting = sigma > 0 or outlier > 0
 
-    def corrupt(bx):
-        return augment.jitter_point_cloud(bx, np_rng, sigma=sigma, clip=1.0)
+    def make_corrupt(rng_):
+        def corrupt(bx):
+            if sigma > 0:
+                bx = augment.jitter_point_cloud(bx, rng_, sigma=sigma,
+                                                clip=1.0)
+            if outlier > 0:
+                bx = augment.noisy_point_cloud(bx, rng_, ratio=outlier)
+            return bx
+        return corrupt
+
+    corrupt = make_corrupt(np_rng)
 
     if args.phase == "ae":
         cfg = AEConfig(num_points=args.num_points, loss=args.loss,
@@ -99,7 +115,7 @@ def main(argv=None):
                     train_data, dummy_labels, args.batch_size, rng=np_rng)):
                 if args.steps_per_epoch and bi >= args.steps_per_epoch:
                     break
-                if sigma > 0:
+                if corrupting:
                     state, loss = step(state, jnp.asarray(corrupt(bx)),
                                        jnp.asarray(bx))
                 else:
@@ -121,7 +137,8 @@ def main(argv=None):
             "config": {"num_points": args.num_points,
                        "bottleneck_size": args.bottleneck_size,
                        "loss": args.loss,
-                       "denoising_sigma": sigma},
+                       "denoising_sigma": sigma,
+                       "outlier_ratio": outlier},
         })
         logger.log(f"saved checkpoint to {log_dir}/ckpt")
         return state
@@ -138,7 +155,7 @@ def main(argv=None):
         group_size=args.group_size,
         alpha=args.alpha, lmbda=args.lmbda,
         batch_size=args.batch_size,
-        is_denoising=sigma > 0,
+        is_denoising=corrupting,
     )
     if args.progressive:
         from samplenet_tpu.train.progressive import (
@@ -167,7 +184,7 @@ def main(argv=None):
                 train_data, dummy_labels, args.batch_size, rng=np_rng)):
             if args.steps_per_epoch and bi >= args.steps_per_epoch:
                 break
-            if sigma > 0:
+            if corrupting:
                 state, metrics = step(state, jnp.asarray(corrupt(bx)),
                                       jnp.asarray(bx))
             else:
@@ -178,10 +195,7 @@ def main(argv=None):
         eval_rng = np.random.RandomState(123)
         report = evaluate_nre(
             eval_step, state, test_data, args.batch_size,
-            noise_fn=(
-                (lambda bx: augment.jitter_point_cloud(
-                    bx, eval_rng, sigma=sigma, clip=1.0))
-                if sigma > 0 else None))
+            noise_fn=make_corrupt(eval_rng) if corrupting else None)
         logger.log(f"epoch {epoch}: " +
                    " ".join(f"{k}={v:.5f}" for k, v in mean.items()) +
                    f" | NRE={report['nre']:.4f}")

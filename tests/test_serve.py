@@ -60,6 +60,52 @@ def test_sample_roundtrip(daemon):
     np.testing.assert_allclose(out, np.asarray(exp), atol=1e-5)
 
 
+def test_artifact_export_and_serve(daemon, tmp_path):
+    """--export-artifact writes a frozen artifact; --artifact serves from
+    it with identical outputs and no checkpoint access."""
+    import numpy as np
+
+    from samplenet_tpu import serve
+
+    port, (net, v) = daemon
+    # reuse the daemon fixture's checkpoint via a fresh export
+    import jax
+
+    from samplenet_tpu.train import checkpoints
+
+    ckpt = str(tmp_path / "ckpt")
+    checkpoints.save(ckpt, {"params": jax.device_get(v["params"]),
+                            "batch_stats": jax.device_get(v["batch_stats"])})
+    art = str(tmp_path / "sampler.sntpu")
+    out = serve.main([
+        "--ckpt", ckpt, "--num-points", "64", "--num-out-points", "8",
+        "--bottleneck-size", "32", "--group-size", "4", "--max-batch", "4",
+        "--export-artifact", art], serve_forever=False)
+    assert out == (None, None) and __import__("os").path.exists(art)
+
+    server2, batcher2 = serve.main(
+        ["--artifact", art, "--port", "0"], serve_forever=False)
+    try:
+        import threading
+        import urllib.request
+
+        t = threading.Thread(target=server2.serve_forever, daemon=True)
+        t.start()
+        rng = np.random.RandomState(7)
+        clouds = rng.randn(2, 64, 3).astype("<f4")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server2.server_address[1]}/sample",
+            data=clouds.tobytes(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            got = np.frombuffer(r.read(), np.float32).reshape(2, 8, 3)
+        import jax.numpy as jnp
+        _, exp = net.apply(v, jnp.asarray(clouds), training=False)
+        np.testing.assert_allclose(got, np.asarray(exp), atol=1e-5)
+    finally:
+        server2.shutdown()
+        batcher2.close()
+
+
 def test_bad_body_rejected(daemon):
     port, _ = daemon
     req = urllib.request.Request(

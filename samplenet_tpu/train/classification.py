@@ -73,6 +73,11 @@ class SampleNetConfig:
     batch_size: int = 32
     bn_schedule: bool = False
     bf16: bool = False
+    # rematerialise the sampler forward in the backward pass instead of
+    # stashing inter-layer activations: trades MXU FLOPs (plentiful at the
+    # measured 4.2% MFU) for HBM activation traffic (the measured
+    # bottleneck — BENCHMARKS.md train-step roofline)
+    remat: bool = False
 
 
 # --------------------------------------------------------------- classifier
@@ -181,8 +186,14 @@ def make_samplenet_train_step(
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            (simp, proj), updates = sampler.apply(
-                variables, points, training=True, mutable=["batch_stats"])
+
+            def sampler_fwd(variables, points):
+                return sampler.apply(variables, points, training=True,
+                                     mutable=["batch_stats"])
+
+            if scfg.remat:
+                sampler_fwd = jax.checkpoint(sampler_fwd)
+            (simp, proj), updates = sampler_fwd(variables, points)
             logits, _ = classifier.apply(classifier_vars, proj, training=False)
             task_loss = classification_loss(logits, labels)
             simp_loss = sampler.apply(

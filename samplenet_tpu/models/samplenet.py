@@ -58,6 +58,7 @@ class SimplificationNet(nn.Module):
     fc_bn: bool = True
     bn_momentum: float = 0.9
     dtype: Any = None
+    conv_layout: str = "bnc"  # "bcn": channel-major training chain
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -66,6 +67,7 @@ class SimplificationNet(nn.Module):
         global_feat = PointMLP(
             features=(*self.conv_widths, self.bottleneck_size), name="convs",
             bn_momentum=self.bn_momentum, dtype=self.dtype,
+            layout=self.conv_layout,
         )(x, training=training, pool_max=True)  # [B, bottleneck]
         y = MLPHead(features=self.fc_widths, use_bn=self.fc_bn, name="fcs",
                     bn_momentum=self.bn_momentum, dtype=self.dtype,
@@ -100,6 +102,7 @@ class SampleNet(nn.Module):
     use_pallas: bool | None = None  # None = auto (TPU on, CPU/GPU off)
     bn_momentum: float = 0.9
     dtype: Any = None
+    conv_layout: str = "bnc"  # "bcn": channel-major training chain
 
     def setup(self):
         if self.input_shape not in ("bnc", "bcn"):
@@ -114,6 +117,7 @@ class SampleNet(nn.Module):
             fc_bn=self.fc_bn,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
+            conv_layout=self.conv_layout,
         )
         self.project = SoftProjection(
             group_size=self.group_size,

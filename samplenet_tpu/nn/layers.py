@@ -37,6 +37,13 @@ class PointMLP(nn.Module):
     # runs in one VMEM pass (ops/pallas/point_mlp_kernel.py; 3.3x the XLA
     # path at the headline eval shape). None = auto: on for TPU backends.
     use_pallas: bool | None = None
+    # activation layout for the XLA path. "bnc" (default) keeps [B, N, C]
+    # rows — at C=64 each f32 row fills half a 128-lane tile, doubling the
+    # effective HBM traffic of the training chain. "bcn" computes the
+    # chain channel-major ([B, C, N], N on the lanes, einsum matmuls +
+    # BatchNorm(axis=1)) with an IDENTICAL param tree, trading one entry
+    # transpose for full-lane activations.
+    layout: str = "bnc"
 
     def _fused_ok(self, x, training, pool_max) -> bool:
         if not pool_max or training or not self.use_bn \
@@ -85,6 +92,8 @@ class PointMLP(nn.Module):
             # explicit use_pallas=True off-TPU runs the interpreter (tests)
             return point_mlp_max(x, tuple(wbs),
                                  interpret=not pallas_backend_ok())
+        if self.layout == "bcn" and x.ndim == 3:
+            return self._call_bcn(x, training, pool_max)
         n = len(self.features)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
@@ -102,6 +111,38 @@ class PointMLP(nn.Module):
         if pool_max:
             return jnp.max(x, axis=1)
         return x
+
+    def _call_bcn(self, x: jnp.ndarray, training: bool,
+                  pool_max: bool) -> jnp.ndarray:
+        """Channel-major chain: one [B,N,C]->[B,C,N] transpose, then every
+        layer is einsum('co,bcn->bon') with N on the 128-lane axis and
+        BatchNorm over axes (0, 2). Param tree identical to the row-major
+        path (Dense params materialised via dummy calls, DCE'd under jit)."""
+        h = jnp.swapaxes(x, 1, 2)          # [B, C, N]
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            dense = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)
+            _ = dense(jnp.zeros((1, 1, h.shape[1]), x.dtype))
+            w = dense.variables["params"]["kernel"]
+            b = dense.variables["params"]["bias"]
+            if self.dtype is not None:
+                w, b, h = (w.astype(self.dtype), b.astype(self.dtype),
+                           h.astype(self.dtype))
+            h = jnp.einsum("co,bcn->bon", w, h) + b[None, :, None]
+            is_last = i == n - 1
+            if self.use_bn and (self.activate_final or not is_last):
+                h = nn.BatchNorm(
+                    use_running_average=not training,
+                    momentum=self.bn_momentum,
+                    axis=1,
+                    name=f"bn_{i}",
+                    dtype=self.dtype,
+                )(h)
+            if self.activate_final or not is_last:
+                h = nn.relu(h)
+        if pool_max:
+            return jnp.max(h, axis=2)
+        return jnp.swapaxes(h, 1, 2)
 
 
 class MLPHead(nn.Module):

@@ -78,6 +78,9 @@ class SampleNetConfig:
     # measured 4.2% MFU) for HBM activation traffic (the measured
     # bottleneck — BENCHMARKS.md train-step roofline)
     remat: bool = False
+    # "bcn": channel-major training chain (N on the lanes; halves the
+    # layout waste of C=64 f32 activations) — numerically identical
+    conv_layout: str = "bnc"
 
 
 # --------------------------------------------------------------- classifier
@@ -155,6 +158,7 @@ def create_samplenet_state(
         sigma_mode="tf",  # classification track: sigma = t^2, no clamp
         bn_momentum=0.0 if scfg.bn_schedule else 0.9,
         dtype=jnp.bfloat16 if scfg.bf16 else None,
+        conv_layout=scfg.conv_layout,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init({"params": rng}, dummy, training=False)

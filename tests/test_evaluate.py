@@ -316,3 +316,47 @@ class TestCanonicalParser:
         assert args.group_size == 16
         args = get_parser().parse_args(["--group-size", "4"])
         assert args.group_size == 4
+
+
+class TestStudyAggregators:
+    def test_registration_seeds_table(self, tmp_path):
+        import json
+
+        from benchmarks.registration_seeds import main as agg
+
+        for seed in (0, 1):
+            pcr = tmp_path / f"seed{seed}" / "pcrnet"
+            pcr.mkdir(parents=True)
+            (pcr / "report.json").write_text(json.dumps({
+                "full_iter1": {"rot_err_mean": 27.0 + seed, "auc": 0.85},
+                "fps64_iter1": {"rot_err_mean": 29.0 + seed, "auc": 0.83},
+                "fps16_iter1": {"rot_err_mean": 40.0 + seed, "auc": 0.70},
+            }))
+            sn = tmp_path / f"seed{seed}" / "samplenet64"
+            sn.mkdir()
+            (sn / "report.json").write_text(json.dumps({
+                "best": {"rot_err_mean": 28.0 + seed, "auc": 0.84},
+                "best_epoch": 5,
+            }))
+        out = agg(str(tmp_path))
+        assert out["full"]["n_seeds"] == 2
+        assert out["samplenet64"]["rot_mean"] == 28.5
+        assert out["fps16"]["rot_mean"] == 40.5
+
+    def test_softassign_study_table(self, tmp_path):
+        import json
+
+        from benchmarks.softassign_study import main as agg
+
+        for c in ("sigma05", "outlier10"):
+            for l in ("chamfer", "softassign"):
+                d = tmp_path / f"{c}_{l}" / "sn"
+                d.mkdir(parents=True)
+                recs = [{"step": 1, "loss": 2.0},
+                        {"step": 2, "nre": 1.5 if l == "chamfer" else 1.2}]
+                (d / "metrics_samplenet.jsonl").write_text(
+                    "\n".join(json.dumps(r) for r in recs))
+        table = agg(str(tmp_path))
+        assert table["sigma05"]["chamfer"] == 1.5
+        assert table["outlier10"]["softassign"] == 1.2
+        assert "emd" not in table["sigma05"]

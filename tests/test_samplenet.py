@@ -288,3 +288,46 @@ class TestBf16Compute:
         for b in range(2):
             for p in ss[b]:  # every matched point is an actual input point
                 assert np.min(np.sum((xs[b] - p) ** 2, axis=-1)) < 1e-9
+
+
+class TestConvLayout:
+    def test_bcn_chain_is_bit_identical(self):
+        """Channel-major (layout='bcn') PointMLP: same param tree, same
+        forward/batch-stats/grads as the row-major chain — it is purely a
+        memory-layout change (N rides the lanes for C=64 f32 training
+        activations)."""
+        from samplenet_tpu.nn.layers import PointMLP
+
+        feats = (64, 64, 64, 128, 128)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 96, 3), jnp.float32)
+        a = PointMLP(features=feats)
+        b = PointMLP(features=feats, layout="bcn")
+        v = a.init(jax.random.PRNGKey(0), x, training=False)
+        assert (jax.tree.map(lambda t: t.shape, v)
+                == jax.tree.map(lambda t: t.shape,
+                                b.init(jax.random.PRNGKey(0), x,
+                                       training=False)))
+        np.testing.assert_array_equal(
+            np.asarray(a.apply(v, x, training=False)),
+            np.asarray(b.apply(v, x, training=False)))
+        oa, ua = a.apply(v, x, training=True, mutable=["batch_stats"])
+        ob, ub = b.apply(v, x, training=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+        for la, lb in zip(jax.tree.leaves(ua), jax.tree.leaves(ub)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-6)
+
+    def test_samplenet_accepts_conv_layout(self):
+        from samplenet_tpu.models import SampleNet
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        a = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4)
+        b = SampleNet(num_out_points=8, bottleneck_size=32, group_size=4,
+                      conv_layout="bcn")
+        v = a.init(jax.random.PRNGKey(0), x, training=False)
+        sa, ma = a.apply(v, x, training=False)
+        sb, mb = b.apply(v, x, training=False)
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), atol=1e-6)

@@ -281,7 +281,9 @@ class TestMultiProcess:
         ]
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # generous: 4 fresh jax processes compile serially when the host
+            # is already loaded (measured 8 min under a full suite run)
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"worker {i} failed:\n{out}"

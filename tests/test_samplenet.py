@@ -331,3 +331,43 @@ class TestConvLayout:
         sb, mb = b.apply(v, x, training=False)
         np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-6)
         np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), atol=1e-6)
+
+
+class TestTrainStepOptions:
+    def test_remat_and_bcn_match_baseline(self):
+        """SampleNetConfig.remat / conv_layout='bcn' are pure memory
+        optimisations: one full optimiser step produces identical loss and
+        parameters (CPU, f32)."""
+        from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+        from samplenet_tpu.train.classification import (
+            SampleNetConfig,
+            create_samplenet_state,
+            make_samplenet_train_step,
+        )
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(8, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randint(0, 4, 8), jnp.int32)
+        cls = PointNetClassifier(num_classes=4)
+        cv = cls.init(jax.random.PRNGKey(1), x[:, :8], training=False)
+        results = {}
+        for name, opts in {
+            "baseline": {},
+            "remat": {"remat": True},
+            "bcn": {"conv_layout": "bcn"},
+            "remat_bcn": {"remat": True, "conv_layout": "bcn"},
+        }.items():
+            scfg = SampleNetConfig(num_out_points=8, bottleneck_size=32,
+                                   group_size=4, batch_size=8, **opts)
+            sampler, state = create_samplenet_state(
+                scfg, 64, jax.random.PRNGKey(0))
+            step = make_samplenet_train_step(sampler, cls, cv, scfg,
+                                             augment_data=False)
+            s2, m = step(state, x, y, jax.random.PRNGKey(2))
+            results[name] = (float(m["loss"]), jax.device_get(s2.params))
+        base_loss, base_params = results["baseline"]
+        for name, (loss, params) in results.items():
+            assert loss == pytest.approx(base_loss, rel=1e-6), name
+            for a, b in zip(jax.tree.leaves(base_params),
+                            jax.tree.leaves(params)):
+                np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)

@@ -69,6 +69,12 @@ def parse_args(argv=None):
     p.add_argument("--min-num-out-points", type=int, default=16)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init-ckpt", default=None,
+                   help="restore params/batch_stats before training; with "
+                        "--epochs 0 this is a standalone evaluation of an "
+                        "existing checkpoint (the reference's "
+                        "autoencoder/evaluate_ae.py and sampler/"
+                        "evaluate_samplenet[_progressive].py workflows)")
     return p.parse_args(argv)
 
 
@@ -107,8 +113,22 @@ def main(argv=None):
                        n_sample_points=args.num_points,
                        denoising_sigma=sigma)
         model, state = create_ae_state(cfg, rng)
+        if args.init_ckpt:
+            init = checkpoints.restore(args.init_ckpt)
+            state = state.replace(params=init["params"],
+                                  batch_stats=init["batch_stats"])
+            logger.log(f"restored {args.init_ckpt}")
         step = make_ae_train_step(model, cfg)
         eval_step = make_ae_eval_step(model)
+        if args.epochs == 0:  # standalone eval of --init-ckpt
+            test_losses = [
+                float(np.mean(np.asarray(eval_step(state, jnp.asarray(bx)))))
+                for bx, _ in iterate_batches(
+                    test_data, np.zeros(len(test_data), np.int32),
+                    args.batch_size, shuffle=False)
+            ]
+            logger.log(f"eval-only: test={np.mean(test_losses):.5f}")
+            logger.metrics(0, test=np.mean(test_losses))
         for epoch in range(args.epochs):
             losses = []
             for bi, (bx, _) in enumerate(iterate_batches(
@@ -177,7 +197,19 @@ def main(argv=None):
         sampler, state = create_sampler_ae_state(scfg, args.num_points, rng)
         step = make_sampler_ae_train_step(
             sampler, ae, ae_vars, scfg, ae_loss=str(ae_ckpt["config"]["loss"]))
+    if args.init_ckpt:
+        init = checkpoints.restore(args.init_ckpt)
+        state = state.replace(params=init["params"],
+                              batch_stats=init["batch_stats"])
+        logger.log(f"restored {args.init_ckpt}")
     eval_step = make_sampler_ae_eval_step(sampler, ae, ae_vars)
+    if args.epochs == 0:  # standalone NRE eval of --init-ckpt
+        eval_rng = np.random.RandomState(123)
+        report = evaluate_nre(
+            eval_step, state, test_data, args.batch_size,
+            noise_fn=make_corrupt(eval_rng) if corrupting else None)
+        logger.log(f"eval-only: NRE={report['nre']:.4f}")
+        logger.metrics(0, nre=report["nre"])
     for epoch in range(args.epochs):
         agg: dict[str, list] = {}
         for bi, (bx, _) in enumerate(iterate_batches(

@@ -157,6 +157,21 @@ def test_reconstruction_both_phases(tdir):
         "--train-size", "8", "--test-size", "8", "--batch-size", "4",
         "--num-points", "64", "--num-out-points", "8", "--group-size", "4",
         "--ae-ckpt", f"{tdir}/ae/ckpt", "--log-dir", f"{tdir}/aesn"])
+    # standalone eval of existing checkpoints (the reference's
+    # autoencoder/evaluate_ae.py + sampler/evaluate_samplenet.py flows)
+    train_reconstruction.main([
+        "--phase", "ae", "--epochs", "0", "--init-ckpt", f"{tdir}/ae/ckpt",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--bottleneck-size", "32",
+        "--log-dir", f"{tdir}/ae_eval"])
+    assert "eval-only" in open(f"{tdir}/ae_eval/log_ae.txt").read()
+    train_reconstruction.main([
+        "--phase", "samplenet", "--epochs", "0",
+        "--init-ckpt", f"{tdir}/aesn/ckpt",
+        "--train-size", "8", "--test-size", "8", "--batch-size", "4",
+        "--num-points", "64", "--num-out-points", "8", "--group-size", "4",
+        "--ae-ckpt", f"{tdir}/ae/ckpt", "--log-dir", f"{tdir}/aesn_eval"])
+    assert "eval-only" in open(f"{tdir}/aesn_eval/log_samplenet.txt").read()
 
 
 def test_progressive_cli(tdir):

@@ -64,6 +64,9 @@ def main() -> None:
         "remat": {"remat": True},
         "bcn": {"conv_layout": "bcn"},
         "remat+bcn": {"remat": True, "conv_layout": "bcn"},
+        # fused ghost-BN Pallas train chain: NOT loss-identical by design
+        # (block-local statistics; see ops/pallas/point_mlp_train_kernel.py)
+        "fused": {"fused_train": True},
     }
     losses = {}
     for name, opts in variants.items():
@@ -92,6 +95,8 @@ def main() -> None:
         }), flush=True)
     base = losses["baseline"]
     for name, l in losses.items():
+        if name == "fused":
+            continue  # ghost-BN: semantically different stats, not drift
         if abs(l - base) > 1e-3 * max(1.0, abs(base)):
             print(json.dumps({"warning": f"loss drift in {name}",
                               "base": base, "got": l}), flush=True)

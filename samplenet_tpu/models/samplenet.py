@@ -59,6 +59,9 @@ class SimplificationNet(nn.Module):
     bn_momentum: float = 0.9
     dtype: Any = None
     conv_layout: str = "bnc"  # "bcn": channel-major training chain
+    # fused ghost-BN train kernel for the conv chain (opt-in; see
+    # nn/layers.py::PointMLP.fused_train)
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -67,7 +70,7 @@ class SimplificationNet(nn.Module):
         global_feat = PointMLP(
             features=(*self.conv_widths, self.bottleneck_size), name="convs",
             bn_momentum=self.bn_momentum, dtype=self.dtype,
-            layout=self.conv_layout,
+            layout=self.conv_layout, fused_train=self.fused_train,
         )(x, training=training, pool_max=True)  # [B, bottleneck]
         y = MLPHead(features=self.fc_widths, use_bn=self.fc_bn, name="fcs",
                     bn_momentum=self.bn_momentum, dtype=self.dtype,
@@ -103,6 +106,7 @@ class SampleNet(nn.Module):
     bn_momentum: float = 0.9
     dtype: Any = None
     conv_layout: str = "bnc"  # "bcn": channel-major training chain
+    fused_train: bool = False
 
     def setup(self):
         if self.input_shape not in ("bnc", "bcn"):
@@ -118,6 +122,7 @@ class SampleNet(nn.Module):
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             conv_layout=self.conv_layout,
+            fused_train=self.fused_train,
         )
         self.project = SoftProjection(
             group_size=self.group_size,

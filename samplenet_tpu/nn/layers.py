@@ -18,6 +18,39 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class BNTrainStats(nn.Module):
+    """BatchNorm parameter/statistics holder for externally-fused layers.
+
+    Variable tree is identical to `nn.BatchNorm` (params {scale, bias},
+    batch_stats {mean, var}) so checkpoints are interchangeable with the
+    XLA chain, but normalisation itself happens inside a fused kernel:
+    `affine()` hands the kernel its scale/bias (gradients flow through
+    them), `update(mean, var)` applies flax's exact running-average rule
+    to the kernel's reported batch statistics.
+    """
+
+    features: int
+    momentum: float = 0.9
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,))
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,))
+        self.mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,)))
+        self.var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,)))
+
+    def affine(self):
+        return self.scale, self.bias
+
+    def update(self, mean, var):
+        m = self.momentum
+        self.mean.value = m * self.mean.value + (1 - m) * mean
+        self.var.value = m * self.var.value + (1 - m) * var
+
+
 class PointMLP(nn.Module):
     """Per-point MLP: Dense -> (BatchNorm) -> activation over [B, N, C].
 
@@ -37,6 +70,15 @@ class PointMLP(nn.Module):
     # runs in one VMEM pass (ops/pallas/point_mlp_kernel.py; 3.3x the XLA
     # path at the headline eval shape). None = auto: on for TPU backends.
     use_pallas: bool | None = None
+    # fused TRAIN kernel for __call__(pool_max=True, training=True): the
+    # chain runs with GHOST BatchNorm (statistics per batch-block of
+    # >= block_b*N samples — the same per-device semantics the reference
+    # has under torch multi-GPU data parallelism) in one VMEM pass, with
+    # a recompute-in-VMEM backward (ops/pallas/point_mlp_train_kernel.py).
+    # Running averages still track the EXACT global batch statistics.
+    # Opt-in: ghost normalisation is a (principled) semantic change, not
+    # a pure layout optimisation like the eval kernel.
+    fused_train: bool = False
     # activation layout for the XLA path. "bnc" (default) keeps [B, N, C]
     # rows — at C=64 each f32 row fills half a 128-lane tile, doubling the
     # effective HBM traffic of the training chain. "bcn" computes the
@@ -55,6 +97,49 @@ class PointMLP(nn.Module):
         from samplenet_tpu.ops.dispatch import pallas_backend_ok
 
         return pallas_backend_ok() and x.shape[1] >= 128
+
+    def _fused_train_ok(self, x, training, pool_max) -> bool:
+        if not self.fused_train or not pool_max or not training \
+                or not self.use_bn or not self.activate_final \
+                or self.dtype is not None or x.ndim != 3 \
+                or x.shape[1] % 128:
+            return False
+        from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
+            auto_block_b,
+        )
+
+        return auto_block_b(
+            x.shape[0], x.shape[1], tuple(self.features)) is not None
+
+    def _call_fused_train(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Ghost-BN fused train chain + global max (one VMEM pass fwd and
+        bwd). Dense/BN param trees match the XLA path exactly; running
+        averages get the exact global batch statistics via BNTrainStats."""
+        from samplenet_tpu.ops.dispatch import pallas_backend_ok
+        from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
+            point_mlp_train_max,
+        )
+
+        ws, dense_bs, gammas, betas, bns = [], [], [], [], []
+        h = jnp.zeros((1, 1, x.shape[-1]), jnp.float32)
+        for i, f in enumerate(self.features):
+            dense = nn.Dense(f, name=f"dense_{i}")
+            h = dense(h)  # materialise params; DCE'd under jit
+            dp = dense.variables["params"]
+            bn = BNTrainStats(features=f, momentum=self.bn_momentum,
+                              name=f"bn_{i}")
+            gamma, beta = bn.affine()
+            ws.append(dp["kernel"])
+            dense_bs.append(dp["bias"])
+            gammas.append(gamma)
+            betas.append(beta)
+            bns.append(bn)
+        pooled, means, vars_ = point_mlp_train_max(
+            x, tuple(ws), tuple(dense_bs), tuple(gammas), tuple(betas),
+            interpret=not pallas_backend_ok())
+        for bn, mu, var in zip(bns, means, vars_):
+            bn.update(mu, var)
+        return pooled
 
     @nn.compact
     def __call__(
@@ -92,6 +177,8 @@ class PointMLP(nn.Module):
             # explicit use_pallas=True off-TPU runs the interpreter (tests)
             return point_mlp_max(x, tuple(wbs),
                                  interpret=not pallas_backend_ok())
+        if self._fused_train_ok(x, training, pool_max):
+            return self._call_fused_train(x)
         if self.layout == "bcn" and x.ndim == 3:
             return self._call_bcn(x, training, pool_max)
         n = len(self.features)

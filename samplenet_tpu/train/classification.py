@@ -81,6 +81,9 @@ class SampleNetConfig:
     # "bcn": channel-major training chain (N on the lanes; halves the
     # layout waste of C=64 f32 activations) — numerically identical
     conv_layout: str = "bnc"
+    # fused ghost-BN train kernel for the simplification chain (opt-in;
+    # nn/layers.py::PointMLP.fused_train)
+    fused_train: bool = False
 
 
 # --------------------------------------------------------------- classifier
@@ -159,6 +162,7 @@ def create_samplenet_state(
         bn_momentum=0.0 if scfg.bn_schedule else 0.9,
         dtype=jnp.bfloat16 if scfg.bf16 else None,
         conv_layout=scfg.conv_layout,
+        fused_train=scfg.fused_train,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init({"params": rng}, dummy, training=False)

@@ -84,14 +84,27 @@ def staircase_lr(
 
 
 def adam_with_schedule(
-    schedule: optax.Schedule, weight_decay: float = 0.0
+    schedule: optax.Schedule,
+    weight_decay: float = 0.0,
+    nonfinite_guard: bool = True,
 ) -> optax.GradientTransformation:
     """Adam, optionally with decoupled weight decay (the reference's
     optional regularisation losses, reconstruction/src/pointnet_ae.py:135-141
-    / w_reg_alpha, as an optimizer-side equivalent)."""
+    / w_reg_alpha, as an optimizer-side equivalent).
+
+    `nonfinite_guard` (default on, all four trainers) skips updates with
+    NaN/inf gradients instead of poisoning the params: a single bad batch
+    (observed in anger: approx-EMD AE training under heavy corruption hit
+    one non-finite step at ~epoch 19 and every weight was NaN thereafter)
+    costs one skipped step, while persistent divergence still surfaces
+    after 5 consecutive failures. Changes the opt_state pytree structure —
+    full snapshots taken without the guard don't restore into it.
+    """
     if weight_decay > 0.0:
-        return optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
-    return optax.adam(learning_rate=schedule)
+        tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
+    else:
+        tx = optax.adam(learning_rate=schedule)
+    return with_nonfinite_guard(tx) if nonfinite_guard else tx
 
 
 def bn_decay_schedule(

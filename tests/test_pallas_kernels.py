@@ -243,3 +243,130 @@ class TestPointMLPKernel:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(match), np.asarray(match_ref),
                                    atol=1e-3)
+
+
+def _ghost_oracle(x, params, feats, block_b, eps=1e-5, momentum=0.9, bs=None):
+    """Pure-JAX ghost-BN chain + max pool with flax param naming. Returns
+    (pooled, updated batch_stats or None)."""
+    b, n, _ = x.shape
+    h = x.reshape(b // block_b, block_b * n, -1)
+    new_bs = {}
+    for i in range(len(feats)):
+        w = params[f"dense_{i}"]["kernel"]
+        bi = params[f"dense_{i}"]["bias"]
+        gm = params[f"bn_{i}"]["scale"]
+        bt = params[f"bn_{i}"]["bias"]
+        z = h @ w
+        mu = jnp.mean(z, axis=1, keepdims=True)
+        var = jnp.mean(z * z, axis=1, keepdims=True) - mu * mu
+        xhat = (z - mu) * jax.lax.rsqrt(var + eps)
+        h = jnp.maximum(gm * xhat + bt, 0.0)
+        if bs is not None:
+            zg = (z + bi).reshape(-1, z.shape[-1])
+            gmu = jnp.mean(zg, axis=0)
+            gvar = jnp.mean(zg * zg, axis=0) - gmu ** 2
+            new_bs[f"bn_{i}"] = {
+                "mean": momentum * bs[f"bn_{i}"]["mean"] + (1 - momentum) * gmu,
+                "var": momentum * bs[f"bn_{i}"]["var"] + (1 - momentum) * gvar,
+            }
+    return jnp.max(h.reshape(b, n, -1), axis=1), (new_bs or None)
+
+
+class TestPointMLPTrainKernel:
+    """Fused ghost-BN TRAIN kernel (point_mlp_train_kernel.py) vs a pure-JAX
+    ghost-BN oracle, plus the flax integration contract."""
+
+    FEATS = (8, 16, 8)
+    B, N = 4, 128
+
+    def _fused_pair(self):
+        from samplenet_tpu.nn.layers import PointMLP
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(self.B, self.N, 3), jnp.float32)
+        plain = PointMLP(features=self.FEATS)
+        fused = PointMLP(features=self.FEATS, fused_train=True)
+        v = plain.init(jax.random.PRNGKey(0), x[:2], training=False)
+        # perturb params/stats so the oracle comparison is non-trivial
+        r = np.random.RandomState(1)
+        v = jax.tree.map(
+            lambda a: a + 0.1 * r.randn(*a.shape).astype(np.float32), v)
+        return plain, fused, v, x
+
+    def test_param_tree_identical_to_xla_path(self):
+        plain, fused, v, x = self._fused_pair()
+        v2 = fused.init(jax.random.PRNGKey(0), x[:2], training=False)
+        t1 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v)
+        t2 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v2)
+        assert t1 == t2
+
+    def test_forward_and_ema_match_ghost_oracle(self):
+        from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
+            auto_block_b,
+        )
+
+        _, fused, v, x = self._fused_pair()
+        bb = auto_block_b(self.B, self.N, self.FEATS, bf16=False)
+        out, upd = fused.apply(v, x, training=True, pool_max=True,
+                               mutable=["batch_stats"])
+        ref, ref_bs = _ghost_oracle(x, v["params"], self.FEATS, bb,
+                                    bs=v["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        for k, stats in ref_bs.items():
+            got = upd["batch_stats"][k]
+            np.testing.assert_allclose(np.asarray(got["mean"]),
+                                       np.asarray(stats["mean"]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(got["var"]),
+                                       np.asarray(stats["var"]),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_gradients_match_ghost_oracle(self):
+        from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
+            auto_block_b,
+        )
+
+        _, fused, v, x = self._fused_pair()
+        bb = auto_block_b(self.B, self.N, self.FEATS, bf16=False)
+
+        def loss(params):
+            out, _ = fused.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, training=True, pool_max=True, mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(out))
+
+        def loss_o(params):
+            out, _ = _ghost_oracle(x, params, self.FEATS, bb)
+            return jnp.sum(jnp.sin(out))
+
+        g = jax.grad(loss)(v["params"])
+        go = jax.grad(loss_o)(v["params"])
+        for i in range(len(self.FEATS)):
+            for mod, key in [(f"dense_{i}", "kernel"), (f"bn_{i}", "scale"),
+                             (f"bn_{i}", "bias")]:
+                np.testing.assert_allclose(
+                    np.asarray(g[mod][key]), np.asarray(go[mod][key]),
+                    rtol=1e-3, atol=1e-4, err_msg=f"{mod}/{key}")
+            # BN's mean subtraction cancels the dense bias exactly
+            assert float(jnp.max(jnp.abs(g[f"dense_{i}"]["bias"]))) == 0.0
+
+    def test_fallback_when_no_block_fits(self):
+        """Shapes with no valid batch block (or N % 128 != 0) silently use
+        the XLA global-BN chain — numerics identical to fused_train=False."""
+        from samplenet_tpu.nn.layers import PointMLP
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(3, 96, 3), jnp.float32)  # N % 128 != 0
+        plain = PointMLP(features=self.FEATS)
+        fused = PointMLP(features=self.FEATS, fused_train=True)
+        v = plain.init(jax.random.PRNGKey(0), x[:2], training=False)
+        ref, upd_ref = plain.apply(v, x, training=True, pool_max=True,
+                                   mutable=["batch_stats"])
+        out, upd = fused.apply(v, x, training=True, pool_max=True,
+                               mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                    np.asarray(b), atol=1e-6),
+            upd, upd_ref)

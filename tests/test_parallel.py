@@ -253,6 +253,27 @@ class TestNonfiniteGuard:
         np.testing.assert_allclose(np.asarray(s2.params["w"]),
                                    0.9 * np.ones(3))
 
+    def test_ae_train_step_survives_nan_batch(self):
+        """The guard is default-on in every trainer: one poisoned batch
+        (observed with approx-EMD under heavy corruption) must not NaN the
+        params — training continues on the next batch."""
+        import jax.numpy as jnp
+        from samplenet_tpu.train.reconstruction import (
+            AEConfig, create_ae_state, make_ae_train_step)
+
+        cfg = AEConfig(num_points=32, n_sample_points=32, bottleneck_size=8,
+                       batch_size=4)
+        model, state = create_ae_state(cfg, jax.random.PRNGKey(0))
+        step = make_ae_train_step(model, cfg)
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 32, 3), np.float32)
+        bad = x.at[0, 0, 0].set(jnp.nan)
+        state, loss = step(state, bad)
+        assert not bool(jnp.isfinite(loss))
+        assert all(bool(jnp.all(jnp.isfinite(p)))
+                   for p in jax.tree.leaves(state.params))
+        state, loss = step(state, x)
+        assert bool(jnp.isfinite(loss))
+
 
 class TestMultiProcess:
     @staticmethod

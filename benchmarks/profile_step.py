@@ -1,0 +1,130 @@
+"""Device-trace attribution for a train/eval step on the real chip.
+
+Traces ~10 steps with jax.profiler (which works through the axon tunnel;
+CLAUDE.md), then aggregates the Chrome-trace device-track events by op
+name — the tool behind the round-2/3 "where does the step time go"
+tables in BENCHMARKS.md.
+
+    python benchmarks/profile_step.py --variant fused [--batch 1024]
+    python benchmarks/profile_step.py --variant baseline --top 25
+
+Prints one JSON line per aggregated op {name, total_ms, per_step_ms,
+calls} sorted by time, plus a {device_ms_per_step, wall_ms_per_step}
+summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def aggregate_device_events(trace_dir: str, steps: int, top: int) -> dict:
+    """Sum durations by event name over the device (TPU) tracks of the
+    profiler's trace.json.gz."""
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(paths[0], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # device tracks: pids whose process_name metadata mentions the chip
+    device_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "")
+            if "TPU" in name or "/device:" in name:
+                device_pids.add(ev["pid"])
+    by_name: dict[str, list[float]] = defaultdict(list)
+    for ev in events:
+        if ev.get("ph") == "X" and ev.get("pid") in device_pids:
+            by_name[ev["name"]].append(ev.get("dur", 0) / 1e3)  # us -> ms
+    rows = sorted(
+        ({"name": k, "total_ms": round(sum(v), 3),
+          "per_step_ms": round(sum(v) / steps, 4), "calls": len(v)}
+         for k, v in by_name.items()),
+        key=lambda r: -r["total_ms"])
+    device_ms = sum(r["total_ms"] for r in rows)
+    return {"rows": rows[:top], "device_ms_per_step": round(device_ms / steps, 3)}
+
+
+def main() -> None:
+    from samplenet_tpu.utils.jax_setup import setup
+    setup()
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from samplenet_tpu.models.pointnet_cls import PointNetClassifier
+    from samplenet_tpu.train.classification import (
+        SampleNetConfig,
+        create_samplenet_state,
+        make_samplenet_train_step,
+    )
+    from samplenet_tpu.train.state import clone_state
+    from samplenet_tpu.utils.profiling import force_sync, trace
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="fused",
+                   choices=["baseline", "fused", "bcn", "remat"])
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--m", type=int, default=32)
+    p.add_argument("--num-points", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--trace-dir", default=None)
+    args = p.parse_args()
+    b, n, m = args.batch, args.num_points, args.m
+
+    opts = {"fused": {"fused_train": True}, "bcn": {"conv_layout": "bcn"},
+            "remat": {"remat": True}, "baseline": {}}[args.variant]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 24, b))
+    key = jax.random.PRNGKey(3)
+
+    classifier = PointNetClassifier(num_classes=24)
+    c_vars = classifier.init(jax.random.PRNGKey(1), jnp.zeros((2, 64, 3)),
+                             training=False)
+    scfg = SampleNetConfig(num_out_points=m, batch_size=b, **opts)
+    sampler, state = create_samplenet_state(scfg, n, jax.random.PRNGKey(2))
+    step = make_samplenet_train_step(sampler, classifier, c_vars, scfg,
+                                     augment_data=True)
+
+    state = clone_state(state)
+    for _ in range(3):  # compile + warm
+        state, mm = step(state, x, y, key)
+    force_sync(mm["loss"])
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="profile_step_")
+    t0 = time.perf_counter()
+    with trace(trace_dir):
+        for _ in range(args.steps):
+            state, mm = step(state, x, y, key)
+        force_sync(mm["loss"])
+    wall_ms = (time.perf_counter() - t0) * 1e3 / args.steps
+
+    agg = aggregate_device_events(trace_dir, args.steps, args.top)
+    for row in agg["rows"]:
+        print(json.dumps(row), flush=True)
+    print(json.dumps({
+        "variant": args.variant,
+        "device_ms_per_step": agg["device_ms_per_step"],
+        "wall_ms_per_step": round(wall_ms, 3),
+        "trace_dir": trace_dir,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

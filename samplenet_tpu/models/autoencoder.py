@@ -27,11 +27,15 @@ class PointNetAE(nn.Module):
     encoder_widths: tuple = (64, 128, 128, 256)
     decoder_widths: tuple = (256, 256)
     use_bn: bool = True
+    # fused ghost-BN Pallas kernel for the train-mode encoder chain
+    # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
+    fused_train: bool = False
 
     def setup(self):
         self.encoder_mlp = PointMLP(
             features=(*self.encoder_widths, self.bottleneck_size),
             use_bn=self.use_bn,
+            fused_train=self.fused_train,
             name="encoder",
         )
         self.decoder_layers = [
@@ -40,9 +44,12 @@ class PointNetAE(nn.Module):
         self.out_layer = nn.Dense(3 * self.num_output_points, name="dec_out")
 
     def encode(self, x: jax.Array, training: bool = False) -> jax.Array:
-        """[B, N, 3] -> [B, bottleneck] global latent."""
-        feats = self.encoder_mlp(x, training=training)
-        return jnp.max(feats, axis=1)
+        """[B, N, 3] -> [B, bottleneck] global latent.
+
+        pool_max=True lets PointMLP dispatch the fused eval kernel (BN
+        folded to affines) on TPU and, with `fused_train`, the ghost-BN
+        train kernel; off-TPU it is exactly chain + max over points."""
+        return self.encoder_mlp(x, training=training, pool_max=True)
 
     def decode(self, z: jax.Array) -> jax.Array:
         """[B, bottleneck] -> [B, num_output_points, 3]."""

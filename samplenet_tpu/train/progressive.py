@@ -61,6 +61,9 @@ class ProgressiveConfig:
     delta: float = 1.0 / 30.0
     learning_rate: float = 0.01
     batch_size: int = 32
+    # fused ghost-BN Pallas kernel for the train-mode simplification chain
+    # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
+    fused_train: bool = False
 
     @property
     def sizes(self) -> tuple[int, ...]:
@@ -75,6 +78,7 @@ def create_progressive_state(
         bottleneck_size=cfg.bottleneck_size,
         group_size=cfg.group_size,
         sigma_mode="tf",
+        fused_train=cfg.fused_train,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init(rng, dummy, training=False)

@@ -45,6 +45,8 @@ class AEConfig:
     # clean gt) pair — the reference keeps separate x/gt placeholders for
     # exactly this (reconstruction/src/autoencoder.py:121-129).
     denoising_sigma: float = 0.0
+    # fused ghost-BN Pallas kernel for the train-mode encoder chain
+    fused_train: bool = False
 
 
 @dataclass
@@ -58,6 +60,9 @@ class SampleNetAEConfig:
     is_denoising: bool = False
     batch_size: int = 50
     learning_rate: float = 5e-4
+    # fused ghost-BN Pallas kernel for the train-mode simplification chain
+    # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
+    fused_train: bool = False
 
 
 def _ae_loss_fn(loss_name: str):
@@ -68,7 +73,8 @@ def _ae_loss_fn(loss_name: str):
 
 def create_ae_state(cfg: AEConfig, rng) -> tuple[PointNetAE, TrainState]:
     model = PointNetAE(num_output_points=cfg.num_points,
-                       bottleneck_size=cfg.bottleneck_size)
+                       bottleneck_size=cfg.bottleneck_size,
+                       fused_train=cfg.fused_train)
     dummy = jnp.zeros((2, cfg.n_sample_points, 3), jnp.float32)
     variables = model.init(rng, dummy, training=False)
     tx = adam_with_schedule(staircase_lr(cfg.learning_rate, cfg.batch_size))
@@ -130,6 +136,7 @@ def make_recon_sampler(cfg: SampleNetAEConfig) -> SampleNet:
         fc_bn=False,
         sigma_mode="recon",
         min_sigma=1e-2,
+        fused_train=cfg.fused_train,
     )
 
 

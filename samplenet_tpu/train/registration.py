@@ -46,6 +46,9 @@ class RegistrationConfig:
     # net collapses when passes are composed at eval — pass 2 sees
     # nearly-aligned pairs it never trained on)
     train_iterations: int = 1
+    # fused ghost-BN Pallas kernel for the train-mode simplification chain
+    # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
+    fused_train: bool = False
 
 
 def pcrnet_losses(
@@ -116,6 +119,7 @@ def create_sampler_state(cfg: RegistrationConfig, rng) -> tuple[SampleNet, Train
         min_sigma=1e-2,           # registration passes min_sigma=0.01
         sigma_mode="torch",
         skip_projection=cfg.skip_projection,
+        fused_train=cfg.fused_train,
     )
     dummy = jnp.zeros((2, cfg.num_points, 3), jnp.float32)
     variables = sampler.init(rng, dummy, training=False)

@@ -50,6 +50,9 @@ def parse_args(argv=None):
                    help="run the prefix eval + save a checkpoint every K "
                         "epochs (0 = only at the end); long runs stay "
                         "harvestable if interrupted")
+    p.add_argument("--fused-train", action="store_true",
+                   help="fused ghost-BN Pallas kernel for the sampler's "
+                        "simplification chain (nn/layers.py)")
     p.add_argument("--log-dir", default="log/progressive")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -76,6 +79,7 @@ def main(argv=None):
         alpha=args.alpha, lmbda=args.lmbda,
         gamma=args.gamma, delta=args.delta,
         batch_size=args.batch_size,
+        fused_train=args.fused_train,
     )
     rng = jax.random.PRNGKey(args.seed)
     sampler, state = create_progressive_state(cfg, args.num_points, rng)

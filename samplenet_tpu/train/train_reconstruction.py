@@ -67,6 +67,10 @@ def parse_args(argv=None):
                         "serves every ratio (samplenet_progressive_"
                         "pointnet_ae pipeline)")
     p.add_argument("--min-num-out-points", type=int, default=16)
+    p.add_argument("--fused-train", action="store_true",
+                   help="fused ghost-BN Pallas kernel for the train-mode "
+                        "point-MLP chain (ae phase: encoder; samplenet "
+                        "phase: simplification net)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init-ckpt", default=None,
@@ -111,7 +115,8 @@ def main(argv=None):
                        batch_size=args.batch_size,
                        bottleneck_size=args.bottleneck_size,
                        n_sample_points=args.num_points,
-                       denoising_sigma=sigma)
+                       denoising_sigma=sigma,
+                       fused_train=args.fused_train)
         model, state = create_ae_state(cfg, rng)
         if args.init_ckpt:
             init = checkpoints.restore(args.init_ckpt)
@@ -176,6 +181,7 @@ def main(argv=None):
         alpha=args.alpha, lmbda=args.lmbda,
         batch_size=args.batch_size,
         is_denoising=corrupting,
+        fused_train=args.fused_train,
     )
     if args.progressive:
         from samplenet_tpu.train.progressive import (

@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--category", type=int, default=None,
                    help="restrict to one procedural class (the reference "
                         "trains registration on the ModelNet 'car' subset)")
+    p.add_argument("--fused-train", action="store_true",
+                   help="fused ghost-BN Pallas kernel for the sampler's "
+                        "simplification chain (samplenet phase only)")
     p.add_argument("--pcrnet-ckpt", default="log/pcrnet/ckpt")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -105,6 +108,7 @@ def main(argv=None):
         num_sampled_clouds=args.num_sampled_clouds,
         batch_size=args.batch_size,
         train_iterations=args.train_iterations,
+        fused_train=args.fused_train,
     )
     rng = jax.random.PRNGKey(args.seed)
     np_rng = np.random.RandomState(0)

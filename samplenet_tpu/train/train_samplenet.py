@@ -46,6 +46,12 @@ def parse_args(argv=None):
                    help="bf16 compute dtype (params stay f32)")
     p.add_argument("--bn-schedule", action="store_true",
                    help="TF-style scheduled BN decay 0.5->0.99")
+    p.add_argument("--fused-train", action="store_true",
+                   help="fused ghost-BN Pallas kernel for the "
+                        "simplification chain (2.3x train step; per-block "
+                        "BN statistics, see nn/layers.py)")
+    p.add_argument("--conv-layout", default="bnc", choices=["bnc", "bcn"],
+                   help="XLA conv-chain activation layout")
     p.add_argument("--classifier-ckpt", default="log/classifier/ckpt")
     p.add_argument("--train-size", type=int, default=2000)
     p.add_argument("--test-size", type=int, default=400)
@@ -83,6 +89,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         bn_schedule=args.bn_schedule,
         bf16=args.bf16,
+        conv_layout=args.conv_layout,
+        fused_train=args.fused_train,
     )
     rng = jax.random.PRNGKey(args.seed)
     sampler, state = create_samplenet_state(scfg, args.num_points, rng)

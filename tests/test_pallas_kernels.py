@@ -370,3 +370,37 @@ class TestPointMLPTrainKernel:
             lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                     np.asarray(b), atol=1e-6),
             upd, upd_ref)
+
+    def test_fused_train_plumbed_through_all_track_configs(self):
+        """Every sampler-training track exposes the ghost-BN kernel via its
+        config (`--fused-train` in the four CLIs)."""
+        from samplenet_tpu.train.classification import SampleNetConfig
+        from samplenet_tpu.train.classification import (
+            create_samplenet_state as cls_create,
+        )
+        from samplenet_tpu.train.progressive import (
+            ProgressiveConfig,
+            create_progressive_state,
+        )
+        from samplenet_tpu.train.reconstruction import (
+            SampleNetAEConfig,
+            make_recon_sampler,
+        )
+        from samplenet_tpu.train.registration import (
+            RegistrationConfig,
+            create_sampler_state,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        cls_sampler, _ = cls_create(
+            SampleNetConfig(num_out_points=8, fused_train=True), 128, rng)
+        reg_sampler, _ = create_sampler_state(
+            RegistrationConfig(num_points=128, num_out_points=8,
+                               fused_train=True), rng)
+        prog_sampler, _ = create_progressive_state(
+            ProgressiveConfig(max_num_out_points=16, fused_train=True),
+            128, rng)
+        ae_sampler = make_recon_sampler(
+            SampleNetAEConfig(num_out_points=8, fused_train=True))
+        for sampler in (cls_sampler, reg_sampler, prog_sampler, ae_sampler):
+            assert sampler.fused_train

@@ -182,6 +182,59 @@ class TestPallasUnderMesh:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
 
+    def test_ghost_bn_train_kernel_sharded(self):
+        """Fused ghost-BN TRAIN kernel under the mesh: ghost blocks never
+        cross shard boundaries (block dim P is the partitioned dim), so
+        forward, exact-global EMA stats, AND gradients are bit-compatible
+        with single-device; no all-gather in the compiled program."""
+        from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
+            point_mlp_train_max,
+        )
+
+        rng = np.random.RandomState(7)
+        feats = (8, 16)
+        x = jnp.asarray(rng.randn(16, 128, 3), jnp.float32)
+        ws = []
+        cin = 3
+        for f in feats:
+            ws.append(jnp.asarray(rng.randn(cin, f) * 0.2, jnp.float32))
+            cin = f
+        bs = tuple(jnp.zeros((f,), jnp.float32) for f in feats)
+        gm = tuple(jnp.ones((f,), jnp.float32) for f in feats)
+        bt = tuple(jnp.zeros((f,), jnp.float32) for f in feats)
+
+        # block_b=2 -> P=8 blocks, 1 per device on the 8-way 'data' axis
+        def fwd(x, ws, gm, bt):
+            pooled, means, vars_ = point_mlp_train_max(
+                x, tuple(ws), bs, gm, bt, block_b=2, interpret=True)
+            return pooled, means, vars_
+
+        def loss(x, ws, gm, bt):
+            pooled, _, _ = fwd(x, ws, gm, bt)
+            return jnp.sum(pooled ** 2)
+
+        ref_out = jax.jit(fwd)(x, tuple(ws), gm, bt)
+        ref_grads = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+            x, tuple(ws), gm, bt)
+        mesh = self._mesh()
+        with mesh:
+            xs = shard_batch(mesh, x)
+            f = jax.jit(fwd)
+            out = f(xs, tuple(ws), gm, bt)
+            hlo = f.lower(xs, tuple(ws), gm, bt).compile().as_text()
+            grads = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+                xs, tuple(ws), gm, bt)
+        assert out[0].sharding.spec == P("data")
+        assert "all-gather" not in hlo
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5),
+            out, ref_out)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5),
+            grads, ref_grads)
+
 
 class TestDryrun:
     def test_graft_entry_dryrun(self):

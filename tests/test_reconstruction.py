@@ -97,6 +97,30 @@ class TestPointNetAE:
         assert losses[-1] < losses[0] * 0.8
         assert all(np.isfinite(losses))
 
+    def test_fused_train_encoder_step(self):
+        """AE train step with the ghost-BN fused encoder (`--fused-train`):
+        at B == block_b the ghost statistics ARE the global batch
+        statistics, so loss and EMA must track the plain XLA chain."""
+        cfg = AEConfig(num_points=128, bottleneck_size=32, batch_size=4,
+                       n_sample_points=128, fused_train=True)
+        model, state = create_ae_state(cfg, jax.random.PRNGKey(0))
+        assert model.fused_train
+        plain, _ = create_ae_state(
+            AEConfig(num_points=128, bottleneck_size=32, batch_size=4,
+                     n_sample_points=128), jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(3).randn(4, 128, 3),
+                        jnp.float32)
+        fused_step = make_ae_train_step(model, cfg)
+        plain_step = make_ae_train_step(plain, cfg)
+        s_f, loss_f = fused_step(clone_state(state), x)
+        s_p, loss_p = plain_step(clone_state(state), x)
+        assert np.isfinite(float(loss_f))
+        np.testing.assert_allclose(float(loss_f), float(loss_p), rtol=2e-2)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3),
+            s_f.batch_stats, s_p.batch_stats)
+
 
 class TestSampleNetAE:
     @pytest.fixture(scope="class")

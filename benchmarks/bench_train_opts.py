@@ -67,8 +67,19 @@ def main() -> None:
         # fused ghost-BN Pallas train chain: NOT loss-identical by design
         # (block-local statistics; see ops/pallas/point_mlp_train_kernel.py)
         "fused": {"fused_train": True},
+        # frontier variants (round 4): ghost with f32 in-kernel matmuls,
+        # and the exact-BN fused chain (loss-identical to baseline;
+        # ops/pallas/point_mlp_exact_kernel.py) in both precisions
+        "fused-ghost-f32": {"fused_train": True, "fused_bf16": False},
+        "fused-exact": {"fused_train": True, "fused_mode": "exact"},
+        "fused-exact-bf16": {"fused_train": True, "fused_mode": "exact",
+                             "fused_bf16": True},
     }
     losses = {}
+    only = os.environ.get("BENCH_VARIANTS")
+    if only:
+        keep = only.split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
     for name, opts in variants.items():
         scfg = SampleNetConfig(num_out_points=m, batch_size=b, **opts)
         sampler, state = create_samplenet_state(scfg, n,
@@ -93,9 +104,11 @@ def main() -> None:
             "spread": res["spread"],
             "loss0": round(losses[name], 6),
         }), flush=True)
-    base = losses["baseline"]
+    base = losses.get("baseline")
+    if base is None:
+        return
     for name, l in losses.items():
-        if name == "fused":
+        if name.startswith("fused") and "exact" not in name:
             continue  # ghost-BN: semantically different stats, not drift
         if abs(l - base) > 1e-3 * max(1.0, abs(base)):
             print(json.dumps({"warning": f"loss drift in {name}",

@@ -27,15 +27,19 @@ class PointNetAE(nn.Module):
     encoder_widths: tuple = (64, 128, 128, 256)
     decoder_widths: tuple = (256, 256)
     use_bn: bool = True
-    # fused ghost-BN Pallas kernel for the train-mode encoder chain
-    # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
+    # fused Pallas kernel for the train-mode encoder chain (ghost or
+    # exact BN; see nn/layers.py::PointMLP.fused_train / fused_mode)
     fused_train: bool = False
+    fused_mode: str = "ghost"
+    fused_bf16: bool | None = None
 
     def setup(self):
         self.encoder_mlp = PointMLP(
             features=(*self.encoder_widths, self.bottleneck_size),
             use_bn=self.use_bn,
             fused_train=self.fused_train,
+            fused_mode=self.fused_mode,
+            fused_bf16=self.fused_bf16,
             name="encoder",
         )
         self.decoder_layers = [

@@ -59,9 +59,11 @@ class SimplificationNet(nn.Module):
     bn_momentum: float = 0.9
     dtype: Any = None
     conv_layout: str = "bnc"  # "bcn": channel-major training chain
-    # fused ghost-BN train kernel for the conv chain (opt-in; see
-    # nn/layers.py::PointMLP.fused_train)
+    # fused train kernel for the conv chain (opt-in; see
+    # nn/layers.py::PointMLP.fused_train / fused_mode / fused_bf16)
     fused_train: bool = False
+    fused_mode: str = "ghost"
+    fused_bf16: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -71,6 +73,7 @@ class SimplificationNet(nn.Module):
             features=(*self.conv_widths, self.bottleneck_size), name="convs",
             bn_momentum=self.bn_momentum, dtype=self.dtype,
             layout=self.conv_layout, fused_train=self.fused_train,
+            fused_mode=self.fused_mode, fused_bf16=self.fused_bf16,
         )(x, training=training, pool_max=True)  # [B, bottleneck]
         y = MLPHead(features=self.fc_widths, use_bn=self.fc_bn, name="fcs",
                     bn_momentum=self.bn_momentum, dtype=self.dtype,
@@ -107,6 +110,8 @@ class SampleNet(nn.Module):
     dtype: Any = None
     conv_layout: str = "bnc"  # "bcn": channel-major training chain
     fused_train: bool = False
+    fused_mode: str = "ghost"
+    fused_bf16: bool | None = None
 
     def setup(self):
         if self.input_shape not in ("bnc", "bcn"):
@@ -123,6 +128,8 @@ class SampleNet(nn.Module):
             dtype=self.dtype,
             conv_layout=self.conv_layout,
             fused_train=self.fused_train,
+            fused_mode=self.fused_mode,
+            fused_bf16=self.fused_bf16,
         )
         self.project = SoftProjection(
             group_size=self.group_size,

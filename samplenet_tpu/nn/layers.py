@@ -79,6 +79,14 @@ class PointMLP(nn.Module):
     # Opt-in: ghost normalisation is a (principled) semantic change, not
     # a pure layout optimisation like the eval kernel.
     fused_train: bool = False
+    # fused-train variant: "ghost" (block-local statistics, fastest) or
+    # "exact" (two-stage exact global statistics — loss/grads/EMA match
+    # the XLA chain; ops/pallas/point_mlp_exact_kernel.py).
+    fused_mode: str = "ghost"
+    # in-kernel matmul precision for the fused train chain. None = the
+    # mode default (ghost: bf16 — its published 2.3x number; exact: f32 —
+    # drop-in for the quality-default path).
+    fused_bf16: bool | None = None
     # activation layout for the XLA path. "bnc" (default) keeps [B, N, C]
     # rows — at C=64 each f32 row fills half a 128-lane tile, doubling the
     # effective HBM traffic of the training chain. "bcn" computes the
@@ -98,27 +106,48 @@ class PointMLP(nn.Module):
 
         return pallas_backend_ok() and x.shape[1] >= 128
 
+    def _fused_bf16(self) -> bool:
+        if self.fused_bf16 is not None:
+            return self.fused_bf16
+        return self.fused_mode == "ghost"
+
     def _fused_train_ok(self, x, training, pool_max) -> bool:
         if not self.fused_train or not pool_max or not training \
                 or not self.use_bn or not self.activate_final \
                 or self.dtype is not None or x.ndim != 3 \
                 or x.shape[1] % 128:
             return False
+        if self.fused_mode == "exact":
+            from samplenet_tpu.ops.pallas.point_mlp_exact_kernel import (
+                auto_block_b_exact,
+            )
+
+            return len(self.features) >= 2 and auto_block_b_exact(
+                x.shape[0], x.shape[1], tuple(self.features),
+                self._fused_bf16()) is not None
         from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
             auto_block_b,
         )
 
         return auto_block_b(
-            x.shape[0], x.shape[1], tuple(self.features)) is not None
+            x.shape[0], x.shape[1], tuple(self.features),
+            self._fused_bf16()) is not None
 
     def _call_fused_train(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Ghost-BN fused train chain + global max (one VMEM pass fwd and
-        bwd). Dense/BN param trees match the XLA path exactly; running
-        averages get the exact global batch statistics via BNTrainStats."""
+        """Fused train chain + global max (VMEM passes fwd and bwd) —
+        ghost-BN or exact-BN per `fused_mode`. Dense/BN param trees match
+        the XLA path exactly; running averages get the exact global batch
+        statistics via BNTrainStats either way."""
         from samplenet_tpu.ops.dispatch import pallas_backend_ok
-        from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
-            point_mlp_train_max,
-        )
+
+        if self.fused_mode == "exact":
+            from samplenet_tpu.ops.pallas.point_mlp_exact_kernel import (
+                point_mlp_exact_train_max as fused_fn,
+            )
+        else:
+            from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
+                point_mlp_train_max as fused_fn,
+            )
 
         ws, dense_bs, gammas, betas, bns = [], [], [], [], []
         h = jnp.zeros((1, 1, x.shape[-1]), jnp.float32)
@@ -134,9 +163,9 @@ class PointMLP(nn.Module):
             gammas.append(gamma)
             betas.append(beta)
             bns.append(bn)
-        pooled, means, vars_ = point_mlp_train_max(
+        pooled, means, vars_ = fused_fn(
             x, tuple(ws), tuple(dense_bs), tuple(gammas), tuple(betas),
-            interpret=not pallas_backend_ok())
+            bf16=self._fused_bf16(), interpret=not pallas_backend_ok())
         for bn, mu, var in zip(bns, means, vars_):
             bn.update(mu, var)
         return pooled

@@ -160,12 +160,11 @@ def _bwd_kernel(xb_ref, g_ref, *refs, n_layers: int, bf16: bool,
         dgb_ref[0, 2 * i + 1, :] = _pad_row(dbeta, cmax)[0]
         dxhat = dy * gamma[...]
         # ghost-BN backward over the block's M samples:
-        # dz = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat))
-        # rstd is recovered from the stored x_hat without re-deriving the
-        # stats: Var(x_hat) = 1, so rstd = sqrt(M / sum((z-mu)^2)) is not
-        # needed at all — dz only scales by rstd, which we fold into dW/dh
-        # via the identity below. We DO need rstd explicitly, so recompute
-        # it from z of the stored chain: cheaper to recompute mean terms.
+        # dz = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat)).
+        # Only x_hat is stored (bf16, block-local); rstd is NOT derivable
+        # from x_hat alone, so it is recomputed below from this layer's z
+        # (one extra matmul in VMEM — cheaper than storing per-block stats
+        # rows for every layer in HBM).
         dz_unscaled = (
             dxhat
             - jnp.mean(dxhat, axis=1, keepdims=True)

@@ -84,6 +84,8 @@ class SampleNetConfig:
     # fused ghost-BN train kernel for the simplification chain (opt-in;
     # nn/layers.py::PointMLP.fused_train)
     fused_train: bool = False
+    fused_mode: str = "ghost"          # "exact": exact-BN fused variant
+    fused_bf16: bool | None = None     # None = mode default
 
 
 # --------------------------------------------------------------- classifier
@@ -163,6 +165,8 @@ def create_samplenet_state(
         dtype=jnp.bfloat16 if scfg.bf16 else None,
         conv_layout=scfg.conv_layout,
         fused_train=scfg.fused_train,
+        fused_mode=scfg.fused_mode,
+        fused_bf16=scfg.fused_bf16,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init({"params": rng}, dummy, training=False)

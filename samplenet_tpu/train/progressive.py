@@ -64,6 +64,8 @@ class ProgressiveConfig:
     # fused ghost-BN Pallas kernel for the train-mode simplification chain
     # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
     fused_train: bool = False
+    fused_mode: str = "ghost"          # "exact": exact-BN fused variant
+    fused_bf16: bool | None = None     # None = mode default
 
     @property
     def sizes(self) -> tuple[int, ...]:
@@ -79,6 +81,8 @@ def create_progressive_state(
         group_size=cfg.group_size,
         sigma_mode="tf",
         fused_train=cfg.fused_train,
+        fused_mode=cfg.fused_mode,
+        fused_bf16=cfg.fused_bf16,
     )
     dummy = jnp.zeros((2, num_points, 3), jnp.float32)
     variables = sampler.init(rng, dummy, training=False)

@@ -45,8 +45,10 @@ class AEConfig:
     # clean gt) pair — the reference keeps separate x/gt placeholders for
     # exactly this (reconstruction/src/autoencoder.py:121-129).
     denoising_sigma: float = 0.0
-    # fused ghost-BN Pallas kernel for the train-mode encoder chain
+    # fused Pallas kernel for the train-mode encoder chain
     fused_train: bool = False
+    fused_mode: str = "ghost"          # "exact": exact-BN fused variant
+    fused_bf16: bool | None = None     # None = mode default
 
 
 @dataclass
@@ -60,9 +62,11 @@ class SampleNetAEConfig:
     is_denoising: bool = False
     batch_size: int = 50
     learning_rate: float = 5e-4
-    # fused ghost-BN Pallas kernel for the train-mode simplification chain
-    # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
+    # fused Pallas kernel for the train-mode simplification chain
+    # (see nn/layers.py::PointMLP.fused_train / fused_mode / fused_bf16)
     fused_train: bool = False
+    fused_mode: str = "ghost"          # "exact": exact-BN fused variant
+    fused_bf16: bool | None = None     # None = mode default
 
 
 def _ae_loss_fn(loss_name: str):
@@ -74,7 +78,9 @@ def _ae_loss_fn(loss_name: str):
 def create_ae_state(cfg: AEConfig, rng) -> tuple[PointNetAE, TrainState]:
     model = PointNetAE(num_output_points=cfg.num_points,
                        bottleneck_size=cfg.bottleneck_size,
-                       fused_train=cfg.fused_train)
+                       fused_train=cfg.fused_train,
+                       fused_mode=cfg.fused_mode,
+                       fused_bf16=cfg.fused_bf16)
     dummy = jnp.zeros((2, cfg.n_sample_points, 3), jnp.float32)
     variables = model.init(rng, dummy, training=False)
     tx = adam_with_schedule(staircase_lr(cfg.learning_rate, cfg.batch_size))
@@ -137,6 +143,8 @@ def make_recon_sampler(cfg: SampleNetAEConfig) -> SampleNet:
         sigma_mode="recon",
         min_sigma=1e-2,
         fused_train=cfg.fused_train,
+        fused_mode=cfg.fused_mode,
+        fused_bf16=cfg.fused_bf16,
     )
 
 

@@ -49,6 +49,8 @@ class RegistrationConfig:
     # fused ghost-BN Pallas kernel for the train-mode simplification chain
     # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
     fused_train: bool = False
+    fused_mode: str = "ghost"          # "exact": exact-BN fused variant
+    fused_bf16: bool | None = None     # None = mode default
 
 
 def pcrnet_losses(
@@ -120,6 +122,8 @@ def create_sampler_state(cfg: RegistrationConfig, rng) -> tuple[SampleNet, Train
         sigma_mode="torch",
         skip_projection=cfg.skip_projection,
         fused_train=cfg.fused_train,
+        fused_mode=cfg.fused_mode,
+        fused_bf16=cfg.fused_bf16,
     )
     dummy = jnp.zeros((2, cfg.num_points, 3), jnp.float32)
     variables = sampler.init(rng, dummy, training=False)

@@ -53,6 +53,13 @@ def parse_args(argv=None):
     p.add_argument("--fused-train", action="store_true",
                    help="fused ghost-BN Pallas kernel for the sampler's "
                         "simplification chain (nn/layers.py)")
+    p.add_argument("--fused-mode", choices=("ghost", "exact"),
+                   default="ghost",
+                   help="fused-train variant: ghost (block stats, fastest)"
+                        " or exact (global stats, matches the XLA chain)")
+    p.add_argument("--fused-f32", action="store_true",
+                   help="force f32 in-kernel matmuls in the fused train "
+                        "chain (default: mode-dependent)")
     p.add_argument("--log-dir", default="log/progressive")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -80,6 +87,8 @@ def main(argv=None):
         gamma=args.gamma, delta=args.delta,
         batch_size=args.batch_size,
         fused_train=args.fused_train,
+        fused_mode=args.fused_mode,
+        fused_bf16=False if args.fused_f32 else None,
     )
     rng = jax.random.PRNGKey(args.seed)
     sampler, state = create_progressive_state(cfg, args.num_points, rng)

@@ -71,6 +71,13 @@ def parse_args(argv=None):
                    help="fused ghost-BN Pallas kernel for the train-mode "
                         "point-MLP chain (ae phase: encoder; samplenet "
                         "phase: simplification net)")
+    p.add_argument("--fused-mode", choices=("ghost", "exact"),
+                   default="ghost",
+                   help="fused-train variant: ghost (block stats, fastest)"
+                        " or exact (global stats, matches the XLA chain)")
+    p.add_argument("--fused-f32", action="store_true",
+                   help="force f32 in-kernel matmuls in the fused train "
+                        "chain (default: mode-dependent)")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init-ckpt", default=None,
@@ -116,7 +123,9 @@ def main(argv=None):
                        bottleneck_size=args.bottleneck_size,
                        n_sample_points=args.num_points,
                        denoising_sigma=sigma,
-                       fused_train=args.fused_train)
+                       fused_train=args.fused_train,
+                       fused_mode=args.fused_mode,
+                       fused_bf16=False if args.fused_f32 else None)
         model, state = create_ae_state(cfg, rng)
         if args.init_ckpt:
             init = checkpoints.restore(args.init_ckpt)
@@ -182,6 +191,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         is_denoising=corrupting,
         fused_train=args.fused_train,
+        fused_mode=args.fused_mode,
+        fused_bf16=False if args.fused_f32 else None,
     )
     if args.progressive:
         from samplenet_tpu.train.progressive import (

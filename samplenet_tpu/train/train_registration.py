@@ -58,6 +58,13 @@ def parse_args(argv=None):
     p.add_argument("--fused-train", action="store_true",
                    help="fused ghost-BN Pallas kernel for the sampler's "
                         "simplification chain (samplenet phase only)")
+    p.add_argument("--fused-mode", choices=("ghost", "exact"),
+                   default="ghost",
+                   help="fused-train variant: ghost (block stats, fastest)"
+                        " or exact (global stats, matches the XLA chain)")
+    p.add_argument("--fused-f32", action="store_true",
+                   help="force f32 in-kernel matmuls in the fused train "
+                        "chain (default: mode-dependent)")
     p.add_argument("--pcrnet-ckpt", default="log/pcrnet/ckpt")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -109,6 +116,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         train_iterations=args.train_iterations,
         fused_train=args.fused_train,
+        fused_mode=args.fused_mode,
+        fused_bf16=False if args.fused_f32 else None,
     )
     rng = jax.random.PRNGKey(args.seed)
     np_rng = np.random.RandomState(0)

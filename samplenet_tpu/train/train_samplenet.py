@@ -50,6 +50,13 @@ def parse_args(argv=None):
                    help="fused ghost-BN Pallas kernel for the "
                         "simplification chain (2.3x train step; per-block "
                         "BN statistics, see nn/layers.py)")
+    p.add_argument("--fused-mode", choices=("ghost", "exact"),
+                   default="ghost",
+                   help="fused-train variant: ghost (block stats, fastest)"
+                        " or exact (global stats, matches the XLA chain)")
+    p.add_argument("--fused-f32", action="store_true",
+                   help="force f32 in-kernel matmuls in the fused train "
+                        "chain (default: mode-dependent)")
     p.add_argument("--conv-layout", default="bnc", choices=["bnc", "bcn"],
                    help="XLA conv-chain activation layout")
     p.add_argument("--classifier-ckpt", default="log/classifier/ckpt")
@@ -91,6 +98,8 @@ def main(argv=None):
         bf16=args.bf16,
         conv_layout=args.conv_layout,
         fused_train=args.fused_train,
+        fused_mode=args.fused_mode,
+        fused_bf16=False if args.fused_f32 else None,
     )
     rng = jax.random.PRNGKey(args.seed)
     sampler, state = create_samplenet_state(scfg, args.num_points, rng)

@@ -43,7 +43,10 @@ def main() -> None:
     with mesh:
         xs, qs = jax.device_put(x, sh), jax.device_put(q, sh)
         d, i = jax.jit(lambda a, c: nn_direction(a, c, tile_x=32))(qs, xs)
-        assert d.sharding.spec == P("data"), d.sharding
+        # on a 1-chip mesh GSPMD canonicalises P('data') to the empty spec;
+        # the batch-sharded contract is only observable with >1 device
+        want = (P("data"),) if len(devs) > 1 else (P("data"), P())
+        assert d.sharding.spec in want, d.sharding
         print(f"nn_direction ok  mean={float(d.mean()):.5f}")
         o, idx = jax.jit(lambda a, c: fused_soft_projection(
             a, c, jnp.float32(0.3)))(xs, qs)

@@ -404,3 +404,123 @@ class TestPointMLPTrainKernel:
             SampleNetAEConfig(num_out_points=8, fused_train=True))
         for sampler in (cls_sampler, reg_sampler, prog_sampler, ae_sampler):
             assert sampler.fused_train
+
+
+class TestPointMLPExactKernel:
+    """Fused EXACT-BN train kernel (point_mlp_exact_kernel.py): the oracle
+    is the plain XLA chain itself — forward, EMA statistics, and every
+    gradient must match to f32 precision (zero semantic change)."""
+
+    FEATS = (8, 16, 8)
+    B, N = 4, 128
+
+    def _pair(self):
+        from samplenet_tpu.nn.layers import PointMLP
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(self.B, self.N, 3), jnp.float32)
+        plain = PointMLP(features=self.FEATS)
+        fused = PointMLP(features=self.FEATS, fused_train=True,
+                         fused_mode="exact")
+        v = plain.init(jax.random.PRNGKey(0), x[:2], training=False)
+        r = np.random.RandomState(1)
+        v = jax.tree.map(
+            lambda a: a + 0.1 * r.randn(*a.shape).astype(np.float32), v)
+        return plain, fused, v, x
+
+    def test_forward_and_ema_match_xla_chain(self):
+        plain, fused, v, x = self._pair()
+        ref, upd_ref = plain.apply(v, x, training=True, pool_max=True,
+                                   mutable=["batch_stats"])
+        out, upd = fused.apply(v, x, training=True, pool_max=True,
+                               mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            upd, upd_ref)
+
+    def test_gradients_match_xla_chain(self):
+        plain, fused, v, x = self._pair()
+
+        def loss(mod):
+            def f(params, xx):
+                out, _ = mod.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    xx, training=True, pool_max=True,
+                    mutable=["batch_stats"])
+                return jnp.sum(jnp.sin(out))
+            return f
+
+        g, gx = jax.grad(loss(fused), argnums=(0, 1))(v["params"], x)
+        go, gxo = jax.grad(loss(plain), argnums=(0, 1))(v["params"], x)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gxo),
+                                   rtol=1e-4, atol=1e-5)
+        for i in range(len(self.FEATS)):
+            for mod, key in [(f"dense_{i}", "kernel"), (f"bn_{i}", "scale"),
+                             (f"bn_{i}", "bias")]:
+                np.testing.assert_allclose(
+                    np.asarray(g[mod][key]), np.asarray(go[mod][key]),
+                    rtol=1e-3, atol=1e-5, err_msg=f"{mod}/{key}")
+            # BN's mean subtraction cancels the dense bias exactly
+            assert float(jnp.max(jnp.abs(g[f"dense_{i}"]["bias"]))) == 0.0
+
+    def test_explicit_block_b_is_pure_tiling(self):
+        """Unlike ghost BN, block_b has no semantic meaning: every valid
+        tiling gives the same (exact) result."""
+        from samplenet_tpu.ops.pallas.point_mlp_exact_kernel import (
+            point_mlp_exact_train_max,
+        )
+
+        _, _, v, x = self._pair()
+        ws = tuple(v["params"][f"dense_{i}"]["kernel"] for i in range(3))
+        bs = tuple(v["params"][f"dense_{i}"]["bias"] for i in range(3))
+        gs = tuple(v["params"][f"bn_{i}"]["scale"] for i in range(3))
+        be = tuple(v["params"][f"bn_{i}"]["bias"] for i in range(3))
+        outs = [point_mlp_exact_train_max(x, ws, bs, gs, be, block_b=bb,
+                                          interpret=True)[0]
+                for bb in (1, 2, 4)]
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[2]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_fused_mode_plumbed_through_all_track_configs(self):
+        from samplenet_tpu.train.classification import SampleNetConfig
+        from samplenet_tpu.train.classification import (
+            create_samplenet_state as cls_create,
+        )
+        from samplenet_tpu.train.progressive import (
+            ProgressiveConfig,
+            create_progressive_state,
+        )
+        from samplenet_tpu.train.reconstruction import (
+            AEConfig,
+            SampleNetAEConfig,
+            create_ae_state,
+            make_recon_sampler,
+        )
+        from samplenet_tpu.train.registration import (
+            RegistrationConfig,
+            create_sampler_state,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        cls_sampler, _ = cls_create(
+            SampleNetConfig(num_out_points=8, fused_train=True,
+                            fused_mode="exact", fused_bf16=False), 128, rng)
+        reg_sampler, _ = create_sampler_state(
+            RegistrationConfig(num_points=128, num_out_points=8,
+                               fused_train=True, fused_mode="exact"), rng)
+        prog_sampler, _ = create_progressive_state(
+            ProgressiveConfig(max_num_out_points=16, fused_train=True,
+                              fused_mode="exact"), 128, rng)
+        ae_sampler = make_recon_sampler(
+            SampleNetAEConfig(num_out_points=8, fused_train=True,
+                              fused_mode="exact"))
+        ae, _ = create_ae_state(
+            AEConfig(num_points=128, n_sample_points=128, fused_train=True,
+                     fused_mode="exact"), rng)
+        for mod in (cls_sampler, reg_sampler, prog_sampler, ae_sampler, ae):
+            assert mod.fused_mode == "exact"

@@ -139,6 +139,28 @@ def main() -> None:
         report("2b:cls_samplenet_train_m32_b1024", "train step", res,
                "clouds/sec", **extra)
 
+        # ---- config 2c/2d: fused Pallas train chains at the same shape —
+        # ghost-BN (block stats, fastest) and exact-BN (loss-identical to 2b)
+        for tag, fopts in (("2c:cls_samplenet_train_m32_b1024_fused_ghost",
+                            {"fused_train": True}),
+                           ("2d:cls_samplenet_train_m32_b1024_fused_exact",
+                            {"fused_train": True, "fused_mode": "exact"})):
+            fcfg = SampleNetConfig(num_out_points=32, batch_size=bb, **fopts)
+            fsampler, fstate = create_samplenet_state(fcfg, 1024,
+                                                      jax.random.PRNGKey(9))
+            fstep = make_samplenet_train_step(fsampler, classifier, c_vars,
+                                              fcfg, augment_data=True)
+            fholder = {"st": fstate}
+
+            def fused_call(x, stp=fstep, holder=fholder):
+                holder["st"], metrics = stp(holder["st"], x, bys,
+                                            jax.random.PRNGKey(3))
+                return metrics["loss"]
+
+            res = pipelined_rate(fused_call, [(x,) for x in bxs], bb,
+                                 min_iters=max(min_iters // 3, 8))
+            report(tag, "train step (fused)", res, "clouds/sec")
+
     # ---- config 3: progressive ordered inference (1024 outputs, all ratios)
     prog = SampleNet(num_out_points=1024, bottleneck_size=128, group_size=7,
                      sigma_mode="tf")
@@ -196,6 +218,23 @@ def main() -> None:
                          min_iters=max(min_iters // 12, 2))
     report("4b:ae_train_emd_2048_b50", "train step (approx-EMD)", res,
            "clouds/sec")
+
+    # ---- config 4b-fast: same step with bf16 match levels (--emd-fast;
+    # ops.matching fast_math — <0.2% transport-cost error, measured r2)
+    efcfg = AEConfig(num_points=2048, batch_size=50, n_sample_points=2048,
+                     loss="emd", emd_fast=True)
+    efae, efstate = create_ae_state(efcfg, jax.random.PRNGKey(8))
+    emdf_step = make_ae_train_step(efae, efcfg)
+    emdf_holder = {"st": efstate}
+
+    def emdf_call(x):
+        emdf_holder["st"], loss = emdf_step(emdf_holder["st"], x)
+        return loss
+
+    res = pipelined_rate(emdf_call, [(x,) for x in aes], 50,
+                         min_iters=max(min_iters // 12, 2))
+    report("4bf:ae_train_emd_fast_2048_b50", "train step (approx-EMD bf16)",
+           res, "clouds/sec")
 
     # ---- config 4c: AE train step with the soft-assignment loss
     # (beyond-reference; one [50, 2048, 2048] matmul + dual softmax)

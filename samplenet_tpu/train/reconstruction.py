@@ -37,6 +37,7 @@ class AEConfig:
     num_points: int = 2048
     bottleneck_size: int = 128
     loss: str = "chamfer"          # 'chamfer' | 'emd' | 'softassign'
+    emd_fast: bool = False         # bf16 match levels (ops.matching fast_math)
     batch_size: int = 50           # default_train_params (ae_templates.py:46-56)
     learning_rate: float = 5e-4
     use_fps: bool = False          # FPS front-end (pointnet_ae.py:46-56)
@@ -62,6 +63,7 @@ class SampleNetAEConfig:
     is_denoising: bool = False
     batch_size: int = 50
     learning_rate: float = 5e-4
+    emd_fast: bool = False         # bf16 match levels when the AE loss is emd
     # fused Pallas kernel for the train-mode simplification chain
     # (see nn/layers.py::PointMLP.fused_train / fused_mode / fused_bf16)
     fused_train: bool = False
@@ -69,7 +71,9 @@ class SampleNetAEConfig:
     fused_bf16: bool | None = None     # None = mode default
 
 
-def _ae_loss_fn(loss_name: str):
+def _ae_loss_fn(loss_name: str, emd_fast: bool = False):
+    if loss_name == "emd" and emd_fast:
+        return functools.partial(ae_emd_loss, fast_math=True)
     fns = {"chamfer": ae_chamfer_loss, "emd": ae_emd_loss,
            "softassign": ae_soft_assignment_loss}
     return fns[loss_name]
@@ -93,7 +97,7 @@ def make_ae_train_step(model: PointNetAE, cfg: AEConfig):
     `step(state, x, gt)` trains noisy->clean (x = corrupted input, gt =
     clean target — the reference's split x/gt placeholders,
     autoencoder.py:121-129). The state buffers are donated."""
-    loss_fn_inner = _ae_loss_fn(cfg.loss)
+    loss_fn_inner = _ae_loss_fn(cfg.loss, cfg.emd_fast)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, x, gt=None):
@@ -163,7 +167,7 @@ def make_sampler_ae_train_step(
     sampler: SampleNet, ae: PointNetAE, ae_vars: dict,
     cfg: SampleNetAEConfig, ae_loss: str = "chamfer",
 ):
-    loss_fn_inner = _ae_loss_fn(ae_loss)
+    loss_fn_inner = _ae_loss_fn(ae_loss, cfg.emd_fast)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, x, gt=None):

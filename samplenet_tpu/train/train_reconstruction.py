@@ -45,6 +45,11 @@ def parse_args(argv=None):
                    help="AE loss: reference menu (chamfer/emd) plus "
                         "softassign, a TPU-native adaptive soft-assignment "
                         "matching loss (beyond-reference; PAPERS.md)")
+    p.add_argument("--emd-fast", action="store_true",
+                   help="run the approx-EMD match levels in bf16 with f32 "
+                        "reductions (ops.matching fast_math: 2.15x at "
+                        "2048^2, <0.2%% transport-cost error); applies "
+                        "wherever the emd loss is active in either phase")
     p.add_argument("--bottleneck-size", type=int, default=128)
     p.add_argument("--num-out-points", type=int, default=64)
     p.add_argument("--group-size", type=int, default=16)
@@ -119,6 +124,7 @@ def main(argv=None):
 
     if args.phase == "ae":
         cfg = AEConfig(num_points=args.num_points, loss=args.loss,
+                       emd_fast=args.emd_fast,
                        batch_size=args.batch_size,
                        bottleneck_size=args.bottleneck_size,
                        n_sample_points=args.num_points,
@@ -190,6 +196,7 @@ def main(argv=None):
         alpha=args.alpha, lmbda=args.lmbda,
         batch_size=args.batch_size,
         is_denoising=corrupting,
+        emd_fast=args.emd_fast,
         fused_train=args.fused_train,
         fused_mode=args.fused_mode,
         fused_bf16=False if args.fused_f32 else None,

@@ -10,7 +10,12 @@ a v5e-8 in deployment). Run:  python scripts/tpu_mesh_smoke.py
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

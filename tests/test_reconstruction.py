@@ -64,6 +64,24 @@ class TestPointNetAE:
         assert float(ae_chamfer_loss(x, x)) < 1e-10
         assert float(ae_emd_loss(x, x)) < 1e-2
 
+    def test_emd_fast_tracks_f32(self):
+        """--emd-fast (bf16 match levels) must stay within ~1% of the f32
+        loss and keep the same gradient direction (ops.matching fast_math;
+        wired via AEConfig.emd_fast -> _ae_loss_fn)."""
+        from samplenet_tpu.train.reconstruction import _ae_loss_fn
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        f32 = _ae_loss_fn("emd", False)
+        fast = _ae_loss_fn("emd", True)
+        l0, g0 = jax.value_and_grad(lambda a: f32(a, y))(x)
+        l1, g1 = jax.value_and_grad(lambda a: fast(a, y))(x)
+        assert abs(float(l1) - float(l0)) < 0.01 * float(l0)
+        cos = float(jnp.sum(g0 * g1) /
+                    (jnp.linalg.norm(g0) * jnp.linalg.norm(g1)))
+        assert cos > 0.99
+
     def test_train_step_reduces_loss(self, ae_setup):
         cfg, model, state, x = ae_setup
         step = make_ae_train_step(model, cfg)

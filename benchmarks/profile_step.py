@@ -77,7 +77,8 @@ def main() -> None:
 
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="fused",
-                   choices=["baseline", "fused", "bcn", "remat"])
+                   choices=["baseline", "fused", "bcn", "remat",
+                            "progressive"])
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--m", type=int, default=32)
     p.add_argument("--num-points", type=int, default=1024)
@@ -87,12 +88,50 @@ def main() -> None:
     args = p.parse_args()
     b, n, m = args.batch, args.num_points, args.m
 
-    opts = {"fused": {"fused_train": True}, "bcn": {"conv_layout": "bcn"},
-            "remat": {"remat": True}, "baseline": {}}[args.variant]
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
     y = jnp.asarray(rng.randint(0, 24, b))
     key = jax.random.PRNGKey(3)
+
+    if args.variant == "progressive":
+        # config 3: the ordered-infer step (4 output trees at m=1024, B=32
+        # published shape) — the slowest published surface (VERDICT r3 #5)
+        import optax
+
+        from samplenet_tpu.models import SampleNet
+        from samplenet_tpu.train.progressive import make_progressive_infer_step
+        from samplenet_tpu.train.state import TrainState
+
+        prog = SampleNet(num_out_points=m, bottleneck_size=128,
+                         group_size=7, sigma_mode="tf")
+        pv = prog.init(jax.random.PRNGKey(4), x[:2], training=False)
+        pstate = TrainState.create(params=pv["params"],
+                                   batch_stats=pv["batch_stats"],
+                                   tx=optax.identity())
+        infer = make_progressive_infer_step(prog, m)
+        for _ in range(3):
+            outs = infer(pstate, x)
+        force_sync(outs[3].sum())
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="profile_step_")
+        t0 = time.perf_counter()
+        with trace(trace_dir):
+            for _ in range(args.steps):
+                outs = infer(pstate, x)
+            force_sync(outs[3].sum())
+        wall_ms = (time.perf_counter() - t0) * 1e3 / args.steps
+        agg = aggregate_device_events(trace_dir, args.steps, args.top)
+        for row in agg["rows"]:
+            print(json.dumps(row), flush=True)
+        print(json.dumps({
+            "variant": "progressive",
+            "device_ms_per_step": agg["device_ms_per_step"],
+            "wall_ms_per_step": round(wall_ms, 3),
+            "trace_dir": trace_dir,
+        }), flush=True)
+        return
+
+    opts = {"fused": {"fused_train": True}, "bcn": {"conv_layout": "bcn"},
+            "remat": {"remat": True}, "baseline": {}}[args.variant]
 
     classifier = PointNetClassifier(num_classes=24)
     c_vars = classifier.init(jax.random.PRNGKey(1), jnp.zeros((2, 64, 3)),

@@ -77,8 +77,8 @@ def main() -> None:
 
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="fused",
-                   choices=["baseline", "fused", "bcn", "remat",
-                            "progressive"])
+                   choices=["baseline", "fused", "fused-exact", "bcn",
+                            "remat", "progressive"])
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--m", type=int, default=32)
     p.add_argument("--num-points", type=int, default=1024)
@@ -130,7 +130,9 @@ def main() -> None:
         }), flush=True)
         return
 
-    opts = {"fused": {"fused_train": True}, "bcn": {"conv_layout": "bcn"},
+    opts = {"fused": {"fused_train": True},
+            "fused-exact": {"fused_train": True, "fused_mode": "exact"},
+            "bcn": {"conv_layout": "bcn"},
             "remat": {"remat": True}, "baseline": {}}[args.variant]
 
     classifier = PointNetClassifier(num_classes=24)

@@ -35,8 +35,7 @@ from samplenet_tpu.models.losses import (
 from samplenet_tpu.models.pointnet_cls import PointNetClassifier, classification_loss
 from samplenet_tpu.models.samplenet import SampleNet
 from samplenet_tpu.models.soft_projection import SoftProjection
-from samplenet_tpu.ops.matching import nn_matching
-from samplenet_tpu.ops.pairwise import chunked_min_argmin
+from samplenet_tpu.ops.matching import nn_match_from_clouds
 from samplenet_tpu.train.state import TrainState, adam_with_schedule, staircase_lr
 
 
@@ -145,8 +144,9 @@ def make_progressive_infer_step(sampler: SampleNet, num_out_points: int):
         hard, _, _ = sampler.apply(
             variables, points, simp,
             method=lambda m, pc, q: m.project.project(pc, q, hard=True))
-        _, idx = chunked_min_argmin(simp, points)
-        matched = nn_matching(points, idx, num_out_points)
+        # same dispatch as the eval forward: Pallas 1-NN on TPU,
+        # chunked_min_argmin fallback elsewhere (ops/matching.py)
+        matched, _ = nn_match_from_clouds(points, simp, num_out_points)
         return simp, soft, hard, matched
 
     return step

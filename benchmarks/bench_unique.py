@@ -1,0 +1,119 @@
+"""Race formulations of the m>128 unique+compact path (ops/matching.py).
+
+The progressive ordered infer (BASELINE config 3) and the m=1024 eval
+forward (config 3b) spend most of their device time in
+`first_occurrence_mask` + `_compact_indices` at [B=1024, m=1024]: the
+round-4 profile attributes ~18 ms/step to sort/while ops from the three
+[B, m] argsorts. Candidates raced here, all static-shape:
+
+  occ: sort      — shipped r2 path (argsort + adjacent-compare + inverse)
+  occ: chunked   — dense equality compare, chunked over rows (VPU
+                   compare+any fused by XLA, no [B,m,m] buffer in HBM)
+  compact: sort  — shipped r2 path (stable argsort of pos)
+  compact: onehot— one-hot matmul chunked over output slots (MXU; the
+                   unchunked [B,m,k] one-hot would be 4 GB — chunks are
+                   [B,m,128] operand tiles)
+
+Reference semantics: sputils._unique + nn_matching front-packing
+(registration/src/sputils.py). Prints one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from samplenet_tpu.ops.matching import (
+    _compact_indices,
+    first_occurrence_mask,
+)
+
+
+def occ_chunked(idx: jax.Array, chunk: int = 128) -> jax.Array:
+    """occ via dense compare, chunked over the i axis: dup_before[b, i] =
+    any_{j<i} idx[b, j] == idx[b, i]. XLA fuses compare+mask+any per chunk
+    so HBM never sees a [B, m, m] buffer."""
+    b, m = idx.shape
+    outs = []
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    for i0 in range(0, m, chunk):
+        blk = jax.lax.dynamic_slice_in_dim(idx, i0, chunk, axis=1)
+        eq = blk[:, :, None] == idx[:, None, :]          # [B, c, m]
+        ipos = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk, 1), 1)
+        outs.append(~jnp.any(eq & (jpos < ipos), axis=2))
+    return jnp.concatenate(outs, axis=1)
+
+
+def compact_onehot(idx: jax.Array, occ: jax.Array, k: int,
+                   chunk: int = 128) -> jax.Array:
+    """Front-pack first occurrences with chunked one-hot matmuls (MXU).
+    compact[b, j] = sum_i [pos(b, i) == j] * idx(b, i); pos is the running
+    first-occurrence count, dropped entries keyed past the end."""
+    m = idx.shape[1]
+    pos = jnp.cumsum(occ, axis=1) - 1
+    pos = jnp.where(occ, pos, m)
+    idxf = idx.astype(jnp.float32)
+    outs = []
+    for k0 in range(0, k, chunk):
+        c = min(chunk, k - k0)
+        slots = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+        oh = (pos[:, :, None] == slots).astype(jnp.float32)   # [B, m, c]
+        outs.append(jnp.einsum("bmc,bm->bc", oh, idxf,
+                               preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1).astype(jnp.int32)
+
+
+def main() -> None:
+    from samplenet_tpu.utils.jax_setup import setup
+
+    setup()
+    sys.path.insert(0, "benchmarks")
+    from measure import pipelined_rate
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--m", type=int, default=1024)
+    p.add_argument("--n", type=int, default=1024)
+    args = p.parse_args()
+    b, m, n = args.batch, args.m, args.n
+
+    rng = np.random.RandomState(0)
+    idx_host = rng.randint(0, n, size=(b, m)).astype(np.int32)
+    idx = jnp.asarray(idx_host)
+
+    variants = {
+        "occ_sort+compact_sort": jax.jit(
+            lambda i: _compact_indices(i, first_occurrence_mask(i), m)),
+        "occ_chunk+compact_sort": jax.jit(
+            lambda i: _compact_indices(i, occ_chunked(i), m)),
+        "occ_chunk+compact_onehot": jax.jit(
+            lambda i: compact_onehot(i, occ_chunked(i), m)),
+        "occ_sort+compact_onehot": jax.jit(
+            lambda i: compact_onehot(i, first_occurrence_mask(i), m)),
+    }
+
+    ref = np.asarray(variants["occ_sort+compact_sort"](idx))
+    for name, fn in variants.items():
+        got = np.asarray(fn(idx))
+        # dropped tail slots differ by construction; compare the packed
+        # prefix per row (count = number of unique values)
+        counts = np.array([len(dict.fromkeys(row)) for row in idx_host])
+        ok = all(np.array_equal(got[r, :c], ref[r, :c])
+                 for r, c in enumerate(counts))
+        res = pipelined_rate(fn, [(idx,)], b, min_iters=32)
+        print(json.dumps({
+            "variant": name, "match_prefix": bool(ok),
+            "ms_per_call": round(1000.0 * b / res["rate"], 3),
+            "clouds_per_sec": round(res["rate"], 1),
+            "spread": res["spread"],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

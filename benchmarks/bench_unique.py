@@ -69,6 +69,24 @@ def compact_onehot(idx: jax.Array, occ: jax.Array, k: int,
     return jnp.concatenate(outs, axis=1).astype(jnp.int32)
 
 
+def gather_onehot(points: jax.Array, idx: jax.Array,
+                  chunk: int = 128) -> jax.Array:
+    """gather_point as chunked one-hot matmuls: out[b, j] =
+    sum_n [idx(b, j) == n] * points[b, n]. Races the take_along_axis row
+    gather, which XLA may lower to a serialized loop at [B=1024, k=1024]."""
+    n = points.shape[1]
+    k = idx.shape[1]
+    outs = []
+    slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    for k0 in range(0, k, chunk):
+        c = min(chunk, k - k0)
+        blk = idx[:, k0:k0 + c]
+        oh = (blk[:, :, None] == slots).astype(jnp.float32)    # [B, c, N]
+        outs.append(jnp.einsum("bcn,bnd->bcd", oh, points,
+                               preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1)
+
+
 def main() -> None:
     from samplenet_tpu.utils.jax_setup import setup
 
@@ -99,16 +117,36 @@ def main() -> None:
     }
 
     ref = np.asarray(variants["occ_sort+compact_sort"](idx))
+    counts = np.array([len(dict.fromkeys(row)) for row in idx_host])
     for name, fn in variants.items():
         got = np.asarray(fn(idx))
         # dropped tail slots differ by construction; compare the packed
         # prefix per row (count = number of unique values)
-        counts = np.array([len(dict.fromkeys(row)) for row in idx_host])
         ok = all(np.array_equal(got[r, :c], ref[r, :c])
                  for r, c in enumerate(counts))
         res = pipelined_rate(fn, [(idx,)], b, min_iters=32)
         print(json.dumps({
             "variant": name, "match_prefix": bool(ok),
+            "ms_per_call": round(1000.0 * b / res["rate"], 3),
+            "clouds_per_sec": round(res["rate"], 1),
+            "spread": res["spread"],
+        }), flush=True)
+
+    # gather_point race at the same shape (the final [B, k] row gather)
+    from samplenet_tpu.ops.fps import gather_point
+
+    pts = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    gvars = {
+        "gather_take_along_axis": jax.jit(gather_point),
+        "gather_onehot_matmul": jax.jit(gather_onehot),
+    }
+    gref = np.asarray(gvars["gather_take_along_axis"](pts, idx))
+    for name, fn in gvars.items():
+        got = np.asarray(fn(pts, idx))
+        res = pipelined_rate(fn, [(pts, idx)], b, min_iters=32)
+        print(json.dumps({
+            "variant": name,
+            "match": bool(np.allclose(got, gref)),
             "ms_per_call": round(1000.0 * b / res["rate"], 3),
             "clouds_per_sec": round(res["rate"], 1),
             "spread": res["spread"],

@@ -140,12 +140,12 @@ def first_occurrence_mask(idx: jax.Array) -> jax.Array:
     (sputils._unique). Two formulations, selected by m:
       * m <= 128: dense [B, m, m] equality compare — trivial on the VPU and
         faster than sorting at the common eval sizes (m = 8..64).
-      * m > 128: sort-based, O(m log m) memory/compute — a stable argsort
-        groups equal values with the earliest original position first, an
-        adjacent compare marks the group heads, and the inverse permutation
-        (a second argsort) carries the marks back to original order. At the
-        progressive-infer shape [B=1024, m=1024] the dense form would be a
-        1 G-element buffer; this is 3 [B, m] buffers.
+      * m > 128: the same dense compare, chunked over the i axis so XLA
+        fuses compare+mask+any per [B, chunk, m] tile and HBM never sees a
+        [B, m, m] buffer. This replaced a double-argsort formulation in
+        round 4: TPU sorts lower to serialized while-loops, and at the
+        progressive-infer shape [B=1024, m=1024] the chunked compare
+        measures ~5x faster than the sort pair (benchmarks/bench_unique.py).
     """
     mm = idx.shape[1]
     if mm <= 128:
@@ -156,43 +156,46 @@ def first_occurrence_mask(idx: jax.Array) -> jax.Array:
         )
         dup_before = jnp.any(eq & lower[None], axis=2)
         return ~dup_before
-    order = jnp.argsort(idx, axis=1, stable=True)    # positions, value-sorted
-    sorted_vals = jnp.take_along_axis(idx, order, axis=1)
-    head = jnp.concatenate(
-        [
-            jnp.ones((idx.shape[0], 1), dtype=bool),
-            sorted_vals[:, 1:] != sorted_vals[:, :-1],
-        ],
-        axis=1,
-    )
-    inverse = jnp.argsort(order, axis=1)
-    return jnp.take_along_axis(head, inverse, axis=1)
+    chunk = 128
+    jpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mm), 2)
+    outs = []
+    for i0 in range(0, mm, chunk):
+        c = min(chunk, mm - i0)
+        blk = jax.lax.dynamic_slice_in_dim(idx, i0, c, axis=1)
+        eq = blk[:, :, None] == idx[:, None, :]      # [B, c, m]
+        ipos = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1)
+        outs.append(~jnp.any(eq & (jpos < ipos), axis=2))
+    return jnp.concatenate(outs, axis=1)
 
 
 def _compact_indices(idx: jax.Array, occ: jax.Array, k: int) -> jax.Array:
     """Move first-occurrence indices to the front (order preserved).
 
-    Two formulations, selected by the [B, m, k] one-hot size:
-      * small (m*k <= 16384): one-hot matmul instead of a scatter — TPU
-        scatter is serialized and costs ~1.2 ms at [1024, 32] vs ~0.05 ms
-        for the matmul. compact[b, j] = sum_i [pos(b,i) == j] * idx(b, i),
-        with pos = the running count of first occurrences.
-      * large: stable argsort of pos (dropped entries keyed to the back)
-        followed by a row gather of the first k — at the progressive infer
-        shape [B=1024, m=k=1024] the one-hot would be a 4 GB tensor; the
-        sort path is O(m log m) with [B, m] buffers only.
+    One-hot matmul instead of a scatter or sort — TPU scatter is serialized
+    (~1.2 ms at [1024, 32] vs ~0.05 ms for the matmul) and a stable argsort
+    of pos lowers to while-loops (~10 ms at [1024, 1024]).
+    compact[b, j] = sum_i [pos(b,i) == j] * idx(b, i), with pos = the
+    running count of first occurrences; dropped entries are keyed past the
+    end so they hit no slot (their output slots read 0, and every caller
+    masks by the unique count). For large k the slot axis is chunked at 128
+    so XLA fuses the [B, m, chunk] one-hot into each matmul — the full
+    [B, m, k] one-hot would be 4 GB at the progressive-infer shape
+    [B=1024, m=k=1024], where this formulation measures ~12x the sort path
+    (benchmarks/bench_unique.py).
     """
     m = idx.shape[1]
     pos = jnp.cumsum(occ, axis=1) - 1                       # [B, m]
     pos = jnp.where(occ, pos, m)                            # dropped -> back
-    if m * k <= 16384:
-        slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
-        onehot = (pos[:, :, None] == slots).astype(jnp.float32)  # [B, m, k]
-        compact = jnp.einsum("bmk,bm->bk", onehot, idx.astype(jnp.float32),
-                             preferred_element_type=jnp.float32)
-        return compact.astype(jnp.int32)
-    order = jnp.argsort(pos, axis=1, stable=True)           # kept first
-    return jnp.take_along_axis(idx, order[:, :k], axis=1)
+    idxf = idx.astype(jnp.float32)
+    chunk = k if m * k <= 16384 else 128
+    outs = []
+    for k0 in range(0, k, chunk):
+        c = min(chunk, k - k0)
+        slots = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+        onehot = (pos[:, :, None] == slots).astype(jnp.float32)  # [B, m, c]
+        outs.append(jnp.einsum("bmc,bm->bc", onehot, idxf,
+                               preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1).astype(jnp.int32)
 
 
 def nn_match_indices(

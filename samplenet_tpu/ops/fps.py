@@ -141,6 +141,38 @@ def fps_from_given(
     return idxs.transpose(1, 0)
 
 
+def fps_from_given_with_points(
+    npoint: int,
+    points: jax.Array,
+    given_idx: jax.Array,
+    given_count: jax.Array,
+    *,
+    use_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """`fps_from_given` returning (idx [B, npoint], xyz [B, npoint, 3]).
+
+    On TPU the Pallas kernel emits the selected coordinates from the
+    one-hot select its distance update already computes (bit-exact, zero
+    extra HBM traffic); elsewhere this is fps_from_given + gather_point.
+    Every matching caller wants the points right after the indices
+    (sputils.nn_matching's final gather), and the standalone row gather is
+    a serialized while-loop on TPU (~9 ms at [B=1024, k=1024])."""
+    points = jnp.asarray(points)
+    if use_pallas is None:
+        use_pallas = _pallas_fps_available(points)
+    if use_pallas:
+        from samplenet_tpu.ops.pallas.fps_kernel import (
+            fps_from_given_pallas_with_points,
+        )
+
+        return fps_from_given_pallas_with_points(
+            npoint, points, jnp.asarray(given_idx, jnp.int32),
+            jnp.asarray(given_count, jnp.int32))
+    idx = fps_from_given(npoint, points, given_idx, given_count,
+                         use_pallas=False)
+    return idx, gather_point(points, idx)
+
+
 def prob_sample(key: jax.Array, weights: jax.Array, npoint: int) -> jax.Array:
     """Weighted multinomial index sampling (`ProbSample`,
     tf_sampling_g.cu:7-104 cumsum + binary search) — here jax.random.choice

@@ -20,7 +20,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from samplenet_tpu.ops.fps import fps_from_given, gather_point
+from samplenet_tpu.ops.fps import (
+    fps_from_given,
+    fps_from_given_with_points,
+    gather_point,
+)
 from samplenet_tpu.ops.pairwise import chunked_min_argmin, pairwise_sqdist
 
 
@@ -211,6 +215,26 @@ def nn_match_indices(
     return fps_from_given(k, full_pc, compact, jnp.minimum(count, k))
 
 
+def _match_indices_and_points(
+    full_pc: jax.Array, idx: jax.Array, k: int, *, complete_fps: bool
+) -> tuple[jax.Array, jax.Array]:
+    """nn_match_indices + the matched coordinates, fused: the seeded-FPS
+    kernel emits the selected points from its in-kernel one-hot select
+    (bit-exact), so the [B, k] row gather — a serialized while-loop on TPU
+    (~9 ms at [B=1024, k=1024], the progressive profile's `while.2`) —
+    never runs on the completion path."""
+    idx = idx.astype(jnp.int32)
+    if not complete_fps:
+        out_idx = idx[:, :k]
+        return out_idx, gather_point(full_pc, out_idx)
+    occ = first_occurrence_mask(idx)
+    count = jnp.sum(occ, axis=1).astype(jnp.int32)
+    compact = _compact_indices(idx, occ, k)
+    out_idx, pts = fps_from_given_with_points(
+        k, full_pc, compact, jnp.minimum(count, k))
+    return out_idx, pts
+
+
 def nn_matching(
     full_pc: jax.Array, idx: jax.Array, k: int, *, complete_fps: bool = True
 ) -> jax.Array:
@@ -224,8 +248,9 @@ def nn_matching(
     Returns:
       [B, k, 3] matched points (sputils.nn_matching parity, on-device).
     """
-    out_idx = nn_match_indices(full_pc, idx, k, complete_fps=complete_fps)
-    return gather_point(full_pc, out_idx)
+    _, pts = _match_indices_and_points(full_pc, idx, k,
+                                       complete_fps=complete_fps)
+    return pts
 
 
 def nn_match_from_clouds(
@@ -244,8 +269,9 @@ def nn_match_from_clouds(
                               tile_x=min(512, simplified.shape[1]))
     else:
         _, idx = chunked_min_argmin(simplified, full_pc)
-    out_idx = nn_match_indices(full_pc, idx, k, complete_fps=complete_fps)
-    return gather_point(full_pc, out_idx), out_idx
+    out_idx, pts = _match_indices_and_points(full_pc, idx, k,
+                                             complete_fps=complete_fps)
+    return pts, out_idx
 
 
 def emd_matching(full_pc: jax.Array, simplified: jax.Array) -> jax.Array:

@@ -29,9 +29,10 @@ def _fps_kernel(
     given_ref,  # VMEM (BB, M) int32 prefix indices (compacted)
     count_ref,  # VMEM (BB, 1) int32 number of valid prefix entries
     idx_ref,    # VMEM (BB, M) int32 output
-    *,
+    *out_refs,  # optional xyz_ref VMEM (BB, 3, M) when emit_xyz
     npoint: int,
     n: int,
+    emit_xyz: bool,
 ):
     # The plain (unseeded) variant is the seeded one with count == 1 and
     # given[:, 0] = start index, so there is exactly one code path here.
@@ -44,7 +45,7 @@ def _fps_kernel(
     count = count_ref[:, 0]
 
     def body(t, carry):
-        dist, selvec = carry
+        dist, selvec, xyzvec = carry
         far = jnp.argmax(dist, axis=1).astype(jnp.int32)      # [BB]
         gsel = jnp.sum(
             jnp.where(col_m == t, given_ref[:, :], 0), axis=1
@@ -57,17 +58,38 @@ def _fps_kernel(
         d = (px - sx) ** 2 + (py - sy) ** 2 + (pz - sz) ** 2
         dist = jnp.minimum(dist, d)
         selvec = jnp.where(col_m == t, sel[:, None], selvec)
-        return dist, selvec
+        if emit_xyz:
+            # sx/sy/sz are the selected point's coordinates, bit-exact
+            # (one-hot f32 multiply-sum: one nonzero term, zeros add
+            # exactly) — recording them here makes the downstream
+            # gather_point free. At [B=1024, k=1024] that row gather is
+            # a ~9 ms serialized while-loop in XLA (the progressive
+            # profile's `while.2`); three extra [BB, M] selects per step
+            # are noise next to the [BB, N] distance update.
+            xyzvec = (
+                jnp.where(col_m == t, sx, xyzvec[0]),
+                jnp.where(col_m == t, sy, xyzvec[1]),
+                jnp.where(col_m == t, sz, xyzvec[2]),
+            )
+        return dist, selvec, xyzvec
 
     init = (
         jnp.full((bb, n), jnp.inf, jnp.float32),
         jnp.zeros((bb, npoint), jnp.int32),
+        tuple(jnp.zeros((bb, npoint), jnp.float32) for _ in range(3))
+        if emit_xyz else (),
     )
-    _, selvec = jax.lax.fori_loop(0, npoint, body, init)
+    _, selvec, xyzvec = jax.lax.fori_loop(0, npoint, body, init)
     idx_ref[:, :] = selvec
+    if emit_xyz:
+        xyz_ref = out_refs[0]
+        xyz_ref[:, 0, :] = xyzvec[0]
+        xyz_ref[:, 1, :] = xyzvec[1]
+        xyz_ref[:, 2, :] = xyzvec[2]
 
 
-def _run_impl(points, given_idx, given_count, npoint, block_b, interpret):
+def _run_shared(points, given_idx, given_count, npoint, block_b, interpret,
+                emit_xyz):
     points = jnp.asarray(points, jnp.float32)
     b, n, _ = points.shape
     bb = min(block_b, b)
@@ -79,8 +101,16 @@ def _run_impl(points, given_idx, given_count, npoint, block_b, interpret):
         given_count = jnp.pad(given_count, ((0, pad_b),))
     bp = b + pad_b
 
-    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n)
-    idx = pl.pallas_call(
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n=n,
+                               emit_xyz=emit_xyz)
+    out_specs = [pl.BlockSpec((bb, npoint), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bp, npoint), jnp.int32)]
+    if emit_xyz:
+        out_specs.append(pl.BlockSpec((bb, 3, npoint), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bp, 3, npoint), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
         in_specs=[
@@ -91,13 +121,24 @@ def _run_impl(points, given_idx, given_count, npoint, block_b, interpret):
             pl.BlockSpec((bb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, npoint), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, npoint), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(pts_t, given_idx.astype(jnp.int32),
       given_count.astype(jnp.int32)[:, None])
-    return idx[:b]
+    if emit_xyz:
+        return out[0][:b], out[1][:b]
+    return out[0][:b]
+
+
+def _run_impl(points, given_idx, given_count, npoint, block_b, interpret):
+    return _run_shared(points, given_idx, given_count, npoint, block_b,
+                       interpret, False)
+
+
+def _run_impl_xyz(points, given_idx, given_count, npoint, block_b, interpret):
+    return _run_shared(points, given_idx, given_count, npoint, block_b,
+                       interpret, True)
 
 
 # SPMD: batch-shard dim 0 of (points, given_idx, given_count), replicate
@@ -106,6 +147,12 @@ def _run_impl(points, given_idx, given_count, npoint, block_b, interpret):
 _run = batch_partition(
     _run_impl,
     rule="b n c, b k, b -> b k",
+    static_argnums=(3, 4, 5),
+)
+
+_run_xyz = batch_partition(
+    _run_impl_xyz,
+    rule="b n c, b k, b -> b k, b c k",
     static_argnums=(3, 4, 5),
 )
 
@@ -142,3 +189,25 @@ def fps_from_given_pallas(
 ) -> jax.Array:
     """Pallas seeded FPS with ops.fps.fps_from_given semantics."""
     return _run(points, given_idx, given_count, npoint, block_b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "block_b", "interpret"))
+def fps_from_given_pallas_with_points(
+    npoint: int,
+    points: jax.Array,
+    given_idx: jax.Array,
+    given_count: jax.Array,
+    *,
+    block_b: int = 128,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Seeded FPS that also returns the selected coordinates.
+
+    Returns (idx [B, npoint] int32, xyz [B, npoint, 3] f32) with
+    xyz[b, t] == points[b, idx[b, t]] bit-exactly — the in-kernel one-hot
+    select the distance update needs anyway, recorded per step, replacing
+    the serialized XLA row gather that follows FPS in every matching
+    caller (sputils.nn_matching's final gather)."""
+    idx, xyz_t = _run_xyz(points, given_idx, given_count, npoint, block_b,
+                          interpret)
+    return idx, jnp.swapaxes(xyz_t, 1, 2)

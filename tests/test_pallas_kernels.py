@@ -156,6 +156,26 @@ class TestFPSKernel:
         exp = farthest_point_sample(8, pts)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
+    def test_with_points_output_bitexact(self):
+        # The emit_xyz variant must return exactly points[b, idx[b, t]] —
+        # it replaces gather_point on the matching completion path, and
+        # matched outputs are input points by contract
+        # (sputils.nn_matching; hard-projection invariant).
+        from samplenet_tpu.ops.fps import fps_from_given, gather_point
+        from samplenet_tpu.ops.pallas.fps_kernel import (
+            fps_from_given_pallas_with_points,
+        )
+        rng = np.random.RandomState(11)
+        pts = jnp.asarray(rng.randn(5, 150, 3), jnp.float32)
+        given = jnp.asarray(rng.randint(0, 150, (5, 12)), jnp.int32)
+        count = jnp.asarray([1, 4, 12, 2, 7], jnp.int32)
+        idx, xyz = fps_from_given_pallas_with_points(
+            12, pts, given, count, block_b=4, interpret=True)
+        exp_idx = fps_from_given(12, pts, given, count, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(exp_idx))
+        np.testing.assert_array_equal(
+            np.asarray(xyz), np.asarray(gather_point(pts, idx)))
+
 
 class TestPointMLPKernel:
     """Fused per-point-MLP + max kernel vs the flax eval path."""

@@ -139,6 +139,30 @@ class TestPallasUnderMesh:
         assert "all-gather" not in hlo
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
 
+    def test_fps_with_points_sharded(self):
+        from samplenet_tpu.ops.pallas.fps_kernel import (
+            fps_from_given_pallas_with_points,
+        )
+
+        rng = np.random.RandomState(2)
+        pts = jnp.asarray(rng.randn(16, 64, 3), jnp.float32)
+        given = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None], (16, 1))
+        cnt = jnp.asarray(rng.randint(1, 5, 16), jnp.int32)
+        ref_i, ref_x = fps_from_given_pallas_with_points(
+            8, pts, given, cnt, interpret=True)
+        mesh = self._mesh()
+        with mesh:
+            ps, gs, cs = shard_batch(mesh, (pts, given, cnt))
+            f = jax.jit(lambda p, g, c: fps_from_given_pallas_with_points(
+                8, p, g, c, interpret=True))
+            idx, xyz = f(ps, gs, cs)
+            hlo = f.lower(ps, gs, cs).compile().as_text()
+        assert idx.sharding.spec == P("data")
+        assert xyz.sharding.spec == P("data")
+        assert "all-gather" not in hlo
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(xyz), np.asarray(ref_x))
+
     def test_soft_project_grad_sharded(self):
         """The differentiable fused soft projection: forward kernel
         partitioned, custom-VJP backward auto-partitioned; gradients for

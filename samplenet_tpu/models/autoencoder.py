@@ -29,7 +29,7 @@ class PointNetAE(nn.Module):
     use_bn: bool = True
     # fused Pallas kernel for the train-mode encoder chain (ghost or
     # exact BN; see nn/layers.py::PointMLP.fused_train / fused_mode)
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"
     fused_bf16: bool | None = None
 

@@ -61,7 +61,7 @@ class SimplificationNet(nn.Module):
     conv_layout: str = "bnc"  # "bcn": channel-major training chain
     # fused train kernel for the conv chain (opt-in; see
     # nn/layers.py::PointMLP.fused_train / fused_mode / fused_bf16)
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"
     fused_bf16: bool | None = None
 
@@ -109,7 +109,7 @@ class SampleNet(nn.Module):
     bn_momentum: float = 0.9
     dtype: Any = None
     conv_layout: str = "bnc"  # "bcn": channel-major training chain
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"
     fused_bf16: bool | None = None
 

@@ -70,18 +70,20 @@ class PointMLP(nn.Module):
     # runs in one VMEM pass (ops/pallas/point_mlp_kernel.py; 3.3x the XLA
     # path at the headline eval shape). None = auto: on for TPU backends.
     use_pallas: bool | None = None
-    # fused TRAIN kernel for __call__(pool_max=True, training=True): the
-    # chain runs with GHOST BatchNorm (statistics per batch-block of
-    # >= block_b*N samples — the same per-device semantics the reference
-    # has under torch multi-GPU data parallelism) in one VMEM pass, with
-    # a recompute-in-VMEM backward (ops/pallas/point_mlp_train_kernel.py).
-    # Running averages still track the EXACT global batch statistics.
-    # Opt-in: ghost normalisation is a (principled) semantic change, not
-    # a pure layout optimisation like the eval kernel.
-    fused_train: bool = False
-    # fused-train variant: "ghost" (block-local statistics, fastest) or
-    # "exact" (two-stage exact global statistics — loss/grads/EMA match
-    # the XLA chain; ops/pallas/point_mlp_exact_kernel.py).
+    # fused TRAIN kernel for __call__(pool_max=True, training=True).
+    # None (default) = AUTO: on TPU backends, run the EXACT-BN fused
+    # kernel (ops/pallas/point_mlp_exact_kernel.py — loss/grads/EMA match
+    # the XLA chain bit-for-bit up to f32 reassociation, measured 1.76x at
+    # the headline train shape) whenever the shapes allow; elsewhere, or
+    # when they don't, the XLA chain. True = force the `fused_mode`
+    # variant (--fused-train: ghost-BN, the fastest — a principled
+    # semantic change, statistics per batch-block like torch multi-GPU
+    # data parallelism, measured ~1-2 pts acc cost). False = force the
+    # XLA chain.
+    fused_train: bool | None = None
+    # fused-train variant when fused_train=True: "ghost" (block-local
+    # statistics, fastest) or "exact" (two-stage exact global statistics —
+    # loss/grads/EMA match the XLA chain).
     fused_mode: str = "ghost"
     # in-kernel matmul precision for the fused train chain. None = the
     # mode default (ghost: bf16 — its published 2.3x number; exact: f32 —
@@ -106,41 +108,54 @@ class PointMLP(nn.Module):
 
         return pallas_backend_ok() and x.shape[1] >= 128
 
-    def _fused_bf16(self) -> bool:
+    def _fused_bf16(self, mode: str) -> bool:
         if self.fused_bf16 is not None:
             return self.fused_bf16
-        return self.fused_mode == "ghost"
+        return mode == "ghost"
 
-    def _fused_train_ok(self, x, training, pool_max) -> bool:
-        if not self.fused_train or not pool_max or not training \
+    def _resolve_fused_mode(self, x, training, pool_max) -> str | None:
+        """The fused-train variant to run, or None for the XLA chain."""
+        if self.fused_train is False or not pool_max or not training \
                 or not self.use_bn or not self.activate_final \
                 or self.dtype is not None or x.ndim != 3 \
                 or x.shape[1] % 128:
-            return False
-        if self.fused_mode == "exact":
+            return None
+        if self.fused_train is None:
+            # auto: exact-BN only — a pure speedup at loss parity, like
+            # the auto eval kernel; ghost stays behind the explicit flag.
+            from samplenet_tpu.ops.dispatch import pallas_backend_ok
+
+            if not pallas_backend_ok():
+                return None
+            mode = "exact"
+        else:
+            mode = self.fused_mode
+        if mode == "exact":
             from samplenet_tpu.ops.pallas.point_mlp_exact_kernel import (
                 auto_block_b_exact,
             )
 
-            return len(self.features) >= 2 and auto_block_b_exact(
+            ok = len(self.features) >= 2 and auto_block_b_exact(
                 x.shape[0], x.shape[1], tuple(self.features),
-                self._fused_bf16()) is not None
+                self._fused_bf16(mode)) is not None
+            return "exact" if ok else None
         from samplenet_tpu.ops.pallas.point_mlp_train_kernel import (
             auto_block_b,
         )
 
-        return auto_block_b(
+        ok = auto_block_b(
             x.shape[0], x.shape[1], tuple(self.features),
-            self._fused_bf16()) is not None
+            self._fused_bf16(mode)) is not None
+        return mode if ok else None
 
-    def _call_fused_train(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _call_fused_train(self, x: jnp.ndarray, mode: str) -> jnp.ndarray:
         """Fused train chain + global max (VMEM passes fwd and bwd) —
-        ghost-BN or exact-BN per `fused_mode`. Dense/BN param trees match
+        ghost-BN or exact-BN per `mode`. Dense/BN param trees match
         the XLA path exactly; running averages get the exact global batch
         statistics via BNTrainStats either way."""
         from samplenet_tpu.ops.dispatch import pallas_backend_ok
 
-        if self.fused_mode == "exact":
+        if mode == "exact":
             from samplenet_tpu.ops.pallas.point_mlp_exact_kernel import (
                 point_mlp_exact_train_max as fused_fn,
             )
@@ -165,7 +180,7 @@ class PointMLP(nn.Module):
             bns.append(bn)
         pooled, means, vars_ = fused_fn(
             x, tuple(ws), tuple(dense_bs), tuple(gammas), tuple(betas),
-            bf16=self._fused_bf16(), interpret=not pallas_backend_ok())
+            bf16=self._fused_bf16(mode), interpret=not pallas_backend_ok())
         for bn, mu, var in zip(bns, means, vars_):
             bn.update(mu, var)
         return pooled
@@ -206,8 +221,9 @@ class PointMLP(nn.Module):
             # explicit use_pallas=True off-TPU runs the interpreter (tests)
             return point_mlp_max(x, tuple(wbs),
                                  interpret=not pallas_backend_ok())
-        if self._fused_train_ok(x, training, pool_max):
-            return self._call_fused_train(x)
+        fused_mode = self._resolve_fused_mode(x, training, pool_max)
+        if fused_mode is not None:
+            return self._call_fused_train(x, fused_mode)
         if self.layout == "bcn" and x.ndim == 3:
             return self._call_bcn(x, training, pool_max)
         n = len(self.features)

@@ -83,7 +83,7 @@ class SampleNetConfig:
     conv_layout: str = "bnc"
     # fused ghost-BN train kernel for the simplification chain (opt-in;
     # nn/layers.py::PointMLP.fused_train)
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"          # "exact": exact-BN fused variant
     fused_bf16: bool | None = None     # None = mode default
 

@@ -62,7 +62,7 @@ class ProgressiveConfig:
     batch_size: int = 32
     # fused ghost-BN Pallas kernel for the train-mode simplification chain
     # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"          # "exact": exact-BN fused variant
     fused_bf16: bool | None = None     # None = mode default
 

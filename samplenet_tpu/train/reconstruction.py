@@ -47,7 +47,7 @@ class AEConfig:
     # exactly this (reconstruction/src/autoencoder.py:121-129).
     denoising_sigma: float = 0.0
     # fused Pallas kernel for the train-mode encoder chain
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"          # "exact": exact-BN fused variant
     fused_bf16: bool | None = None     # None = mode default
 
@@ -66,7 +66,7 @@ class SampleNetAEConfig:
     emd_fast: bool = False         # bf16 match levels when the AE loss is emd
     # fused Pallas kernel for the train-mode simplification chain
     # (see nn/layers.py::PointMLP.fused_train / fused_mode / fused_bf16)
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"          # "exact": exact-BN fused variant
     fused_bf16: bool | None = None     # None = mode default
 

@@ -48,7 +48,7 @@ class RegistrationConfig:
     train_iterations: int = 1
     # fused ghost-BN Pallas kernel for the train-mode simplification chain
     # (ops/pallas/point_mlp_train_kernel.py; see nn/layers.py::PointMLP)
-    fused_train: bool = False
+    fused_train: bool | None = None   # None = auto exact-fused on TPU
     fused_mode: str = "ghost"          # "exact": exact-BN fused variant
     fused_bf16: bool | None = None     # None = mode default
 

@@ -50,9 +50,13 @@ def parse_args(argv=None):
                    help="run the prefix eval + save a checkpoint every K "
                         "epochs (0 = only at the end); long runs stay "
                         "harvestable if interrupted")
-    p.add_argument("--fused-train", action="store_true",
-                   help="fused ghost-BN Pallas kernel for the sampler's "
-                        "simplification chain (nn/layers.py)")
+    p.add_argument("--fused-train", action="store_true", default=None,
+                   help="force the --fused-mode fused train kernel for the "
+                        "sampler's simplification chain (unset = auto "
+                        "exact-BN fused on TPU; nn/layers.py)")
+    p.add_argument("--no-fused-train", dest="fused_train",
+                   action="store_false",
+                   help="force the plain XLA train chain")
     p.add_argument("--fused-mode", choices=("ghost", "exact"),
                    default="ghost",
                    help="fused-train variant: ghost (block stats, fastest)"

@@ -72,10 +72,14 @@ def parse_args(argv=None):
                         "serves every ratio (samplenet_progressive_"
                         "pointnet_ae pipeline)")
     p.add_argument("--min-num-out-points", type=int, default=16)
-    p.add_argument("--fused-train", action="store_true",
-                   help="fused ghost-BN Pallas kernel for the train-mode "
-                        "point-MLP chain (ae phase: encoder; samplenet "
-                        "phase: simplification net)")
+    p.add_argument("--fused-train", action="store_true", default=None,
+                   help="force the --fused-mode fused train kernel for the "
+                        "train-mode point-MLP chain (ae phase: encoder; "
+                        "samplenet phase: simplification net). Unset = "
+                        "auto exact-BN fused on TPU")
+    p.add_argument("--no-fused-train", dest="fused_train",
+                   action="store_false",
+                   help="force the plain XLA train chain")
     p.add_argument("--fused-mode", choices=("ghost", "exact"),
                    default="ghost",
                    help="fused-train variant: ghost (block stats, fastest)"

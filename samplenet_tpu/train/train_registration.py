@@ -55,9 +55,13 @@ def parse_args(argv=None):
     p.add_argument("--category", type=int, default=None,
                    help="restrict to one procedural class (the reference "
                         "trains registration on the ModelNet 'car' subset)")
-    p.add_argument("--fused-train", action="store_true",
-                   help="fused ghost-BN Pallas kernel for the sampler's "
-                        "simplification chain (samplenet phase only)")
+    p.add_argument("--fused-train", action="store_true", default=None,
+                   help="force the --fused-mode fused train kernel for the "
+                        "sampler's simplification chain (samplenet phase "
+                        "only; unset = auto exact-BN fused on TPU)")
+    p.add_argument("--no-fused-train", dest="fused_train",
+                   action="store_false",
+                   help="force the plain XLA train chain")
     p.add_argument("--fused-mode", choices=("ghost", "exact"),
                    default="ghost",
                    help="fused-train variant: ghost (block stats, fastest)"

@@ -46,10 +46,14 @@ def parse_args(argv=None):
                    help="bf16 compute dtype (params stay f32)")
     p.add_argument("--bn-schedule", action="store_true",
                    help="TF-style scheduled BN decay 0.5->0.99")
-    p.add_argument("--fused-train", action="store_true",
-                   help="fused ghost-BN Pallas kernel for the "
-                        "simplification chain (2.3x train step; per-block "
-                        "BN statistics, see nn/layers.py)")
+    p.add_argument("--fused-train", action="store_true", default=None,
+                   help="force the --fused-mode fused train kernel "
+                        "(default ghost-BN: 2.3x step, per-block BN "
+                        "statistics). Unset = auto: the exact-BN fused "
+                        "kernel on TPU at loss parity (nn/layers.py)")
+    p.add_argument("--no-fused-train", dest="fused_train",
+                   action="store_false",
+                   help="force the plain XLA train chain")
     p.add_argument("--fused-mode", choices=("ghost", "exact"),
                    default="ghost",
                    help="fused-train variant: ghost (block stats, fastest)"

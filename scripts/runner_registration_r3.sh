@@ -11,8 +11,11 @@ SEEDS=${SEEDS:-0 1 2}
 MS=${MS:-16 32 64}
 EPOCHS_PCR=${EPOCHS_PCR:-150}
 EPOCHS_SN=${EPOCHS_SN:-150}
+# --no-fused-train: pin the XLA train chain so every seed trains the
+# identical program regardless of the repo's default (the round-4 flip
+# to auto exact-fused landed between seeds of the r4 study).
 COMMON=(--train-size "${TRAIN:-2048}" --test-size "${TEST:-512}"
-        --batch-size 32 --num-points "${N:-1024}")
+        --batch-size 32 --num-points "${N:-1024}" --no-fused-train)
 for SEED in $SEEDS; do
     python -m samplenet_tpu.train.train_registration --phase pcrnet \
         --epochs "$EPOCHS_PCR" "${COMMON[@]}" --seed "$SEED" \

@@ -139,12 +139,17 @@ def main() -> None:
         report("2b:cls_samplenet_train_m32_b1024", "train step", res,
                "clouds/sec", **extra)
 
-        # ---- config 2c/2d: fused Pallas train chains at the same shape —
-        # ghost-BN (block stats, fastest) and exact-BN (loss-identical to 2b)
+        # ---- config 2c/2d/2e: the train-chain variants at the same shape —
+        # ghost-BN (block stats, fastest), exact-BN (the r4 TPU default —
+        # 2b above measures it implicitly via fused_train=None auto), and
+        # the plain XLA chain (the r2/r3 default, kept for cross-round
+        # continuity)
         for tag, fopts in (("2c:cls_samplenet_train_m32_b1024_fused_ghost",
                             {"fused_train": True}),
                            ("2d:cls_samplenet_train_m32_b1024_fused_exact",
-                            {"fused_train": True, "fused_mode": "exact"})):
+                            {"fused_train": True, "fused_mode": "exact"}),
+                           ("2e:cls_samplenet_train_m32_b1024_xla_chain",
+                            {"fused_train": False})):
             fcfg = SampleNetConfig(num_out_points=32, batch_size=bb, **fopts)
             fsampler, fstate = create_samplenet_state(fcfg, 1024,
                                                       jax.random.PRNGKey(9))

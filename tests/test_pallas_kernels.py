@@ -425,6 +425,33 @@ class TestPointMLPTrainKernel:
         for sampler in (cls_sampler, reg_sampler, prog_sampler, ae_sampler):
             assert sampler.fused_train
 
+    def test_tri_state_fused_resolution(self):
+        """fused_train tri-state (r4 default flip): None = auto exact-BN
+        fused on TPU only (off-TPU -> XLA chain, so CPU CI never pays
+        interpret-mode kernels); True = the configured fused_mode;
+        False = forced XLA chain."""
+        import jax.numpy as jnp
+
+        from samplenet_tpu.nn.layers import PointMLP
+
+        x = jnp.zeros((4, 256, 3), jnp.float32)
+        auto = PointMLP(features=(64, 128))
+        forced_off = PointMLP(features=(64, 128), fused_train=False)
+        forced_ghost = PointMLP(features=(64, 128), fused_train=True)
+        forced_exact = PointMLP(features=(64, 128), fused_train=True,
+                                fused_mode="exact")
+        # this suite runs on the CPU backend: auto must resolve to the
+        # XLA chain, explicit True must keep the requested variant
+        assert auto._resolve_fused_mode(x, True, True) is None
+        assert forced_off._resolve_fused_mode(x, True, True) is None
+        assert forced_ghost._resolve_fused_mode(x, True, True) == "ghost"
+        assert forced_exact._resolve_fused_mode(x, True, True) == "exact"
+        # eval / non-pooled / indivisible-N calls never fuse
+        assert forced_ghost._resolve_fused_mode(x, False, True) is None
+        assert forced_ghost._resolve_fused_mode(x, True, False) is None
+        assert forced_ghost._resolve_fused_mode(
+            jnp.zeros((4, 200, 3), jnp.float32), True, True) is None
+
 
 class TestPointMLPExactKernel:
     """Fused EXACT-BN train kernel (point_mlp_exact_kernel.py): the oracle

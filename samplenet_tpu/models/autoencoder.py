@@ -16,7 +16,11 @@ import jax.numpy as jnp
 
 from samplenet_tpu.nn.layers import PointMLP
 from samplenet_tpu.ops.chamfer import nn_distance
-from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
+from samplenet_tpu.ops.fps import (
+    farthest_point_sample,
+    farthest_point_sample_with_points,
+    gather_point,
+)
 from samplenet_tpu.ops.matching import approx_match, match_cost
 from samplenet_tpu.ops.pairwise import pairwise_sqdist
 
@@ -68,8 +72,9 @@ class PointNetAE(nn.Module):
     @staticmethod
     def sort_output(x_reconstr: jax.Array) -> jax.Array:
         """FPS-ordered reconstruction (pointnet_ae.py:69-76)."""
-        idx = farthest_point_sample(x_reconstr.shape[1], x_reconstr)
-        return gather_point(x_reconstr, idx)
+        _, y = farthest_point_sample_with_points(
+            x_reconstr.shape[1], x_reconstr)
+        return y
 
 
 def ae_chamfer_loss(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from samplenet_tpu.models import losses as losses_lib
 from samplenet_tpu.models.soft_projection import SoftProjection
 from samplenet_tpu.nn.layers import MLPHead, PointMLP
-from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
+from samplenet_tpu.ops.fps import (
+    farthest_point_sample,
+    farthest_point_sample_with_points,
+    gather_point,
+)
 from samplenet_tpu.ops.matching import nn_match_from_clouds
 
 
@@ -215,8 +219,8 @@ class FPSSampler(nn.Module):
             start = jax.random.randint(rng, (b,), 0, n)
         else:
             start = 0
-        idx = farthest_point_sample(self.num_out_points, x, start_idx=start)
-        y = gather_point(x, idx)
+        _, y = farthest_point_sample_with_points(
+            self.num_out_points, x, start_idx=start)
         y = _from_bnc(y, self.output_shape)
         return y, y
 

@@ -141,6 +141,34 @@ def fps_from_given(
     return idxs.transpose(1, 0)
 
 
+def farthest_point_sample_with_points(
+    npoint: int,
+    points: jax.Array,
+    *,
+    start_idx: jax.Array | int = 0,
+    use_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """`farthest_point_sample` returning (idx [B, npoint], xyz [B, npoint, 3]).
+
+    On TPU the Pallas kernel emits the selected coordinates bit-exactly
+    from its in-kernel one-hot select, replacing the serialized row gather
+    in the fps+gather_point idiom (AE FPS-sorted output pointnet_ae.py:69-76,
+    FPS baseline samplers fps.py:8-43); elsewhere this is FPS + gather."""
+    points = jnp.asarray(points)
+    if use_pallas is None:
+        use_pallas = _pallas_fps_available(points)
+    if use_pallas:
+        from samplenet_tpu.ops.pallas.fps_kernel import (
+            farthest_point_sample_pallas_with_points,
+        )
+
+        return farthest_point_sample_pallas_with_points(
+            npoint, points, start_idx=start_idx)
+    idx = farthest_point_sample(npoint, points, start_idx=start_idx,
+                                use_pallas=False)
+    return idx, gather_point(points, idx)
+
+
 def fps_from_given_with_points(
     npoint: int,
     points: jax.Array,

@@ -88,11 +88,24 @@ def _fps_kernel(
         xyz_ref[:, 2, :] = xyzvec[2]
 
 
+def _auto_block_b(b: int, n: int, npoint: int, emit_xyz: bool,
+                  requested: int) -> int:
+    """Halve the batch block until the VMEM working set fits ~12 MB.
+    Per-row f32/int32 words: points 3n + dist n + onehot transient n,
+    given/selvec/idx 3*npoint, and with emit_xyz three coordinate carries
+    plus the [3, npoint] output (6*npoint)."""
+    bb = min(requested, b)
+    words = 5 * n + 3 * npoint + (6 * npoint if emit_xyz else 0)
+    while bb > 8 and bb * words * 4 > 12 * 2**20:
+        bb //= 2
+    return bb
+
+
 def _run_shared(points, given_idx, given_count, npoint, block_b, interpret,
                 emit_xyz):
     points = jnp.asarray(points, jnp.float32)
     b, n, _ = points.shape
-    bb = min(block_b, b)
+    bb = _auto_block_b(b, n, npoint, emit_xyz, block_b)
     pad_b = (-b) % bb
     pts_t = jnp.swapaxes(points, 1, 2)  # [B, 3, N]
     if pad_b:
@@ -175,6 +188,28 @@ def farthest_point_sample_pallas(
     given = jnp.zeros((b, npoint), jnp.int32).at[:, 0].set(start)
     count = jnp.ones((b,), jnp.int32)
     return _run(points, given, count, npoint, block_b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "block_b", "interpret"))
+def farthest_point_sample_pallas_with_points(
+    npoint: int,
+    points: jax.Array,
+    *,
+    start_idx: jax.Array | int = 0,
+    block_b: int = 128,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Plain FPS returning (idx, selected xyz) — the emit_xyz variant for
+    the fps+gather_point idiom (AE sorted output, FPS baseline samplers)."""
+    b = points.shape[0]
+    if isinstance(start_idx, int):
+        start = jnp.full((b,), start_idx, jnp.int32)
+    else:
+        start = jnp.asarray(start_idx, jnp.int32)
+    given = jnp.zeros((b, npoint), jnp.int32).at[:, 0].set(start)
+    count = jnp.ones((b,), jnp.int32)
+    idx, xyz_t = _run_xyz(points, given, count, npoint, block_b, interpret)
+    return idx, jnp.swapaxes(xyz_t, 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "block_b", "interpret"))

@@ -133,13 +133,16 @@ def evaluate_baseline_sampler(
     sampler="fps": greedy FPS from index 0; "random": per-cloud uniform
     choice without replacement (seeded, deterministic).
     """
-    from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
+    from samplenet_tpu.ops.fps import (
+        farthest_point_sample_with_points,
+        gather_point,
+    )
 
     if sampler == "fps":
         @jax.jit
         def pick(points):
-            return gather_point(
-                points, farthest_point_sample(num_out_points, points))
+            return farthest_point_sample_with_points(
+                num_out_points, points)[1]
     elif sampler == "random":
         def pick(points, _rng=np.random.RandomState(seed)):
             idx = np.stack([

@@ -101,12 +101,11 @@ def make_ae_train_step(model: PointNetAE, cfg: AEConfig):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, x, gt=None):
-        from samplenet_tpu.ops.fps import farthest_point_sample, gather_point
+        from samplenet_tpu.ops.fps import farthest_point_sample_with_points
 
         target = x if gt is None else gt
         if cfg.use_fps and cfg.n_sample_points < x.shape[1]:
-            idx = farthest_point_sample(cfg.n_sample_points, x)
-            s = gather_point(x, idx)
+            _, s = farthest_point_sample_with_points(cfg.n_sample_points, x)
         else:
             s = x[:, : cfg.n_sample_points]
 

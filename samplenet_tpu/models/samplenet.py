@@ -246,10 +246,13 @@ class RandomSampler(nn.Module):
         x = _to_bnc(x, self.input_shape)
         b, n, _ = x.shape
         rng = self.make_rng("sampler")
-        # per-row permutation via argsort of iid uniforms
+        # top-k of iid uniform keys = a uniform m-subset without
+        # replacement (the first-m-of-a-randperm distribution over SETS;
+        # output order is key-sorted, irrelevant to the permutation-
+        # invariant consumers). A full [B, N] argsort serializes on TPU.
         keys = jax.random.uniform(rng, (b, n))
-        idx = jnp.argsort(keys, axis=1)[:, : self.num_out_points].astype(
-            jnp.int32)
+        _, idx = jax.lax.top_k(keys, self.num_out_points)
+        idx = idx.astype(jnp.int32)
         y = gather_point(x, idx)
         y = _from_bnc(y, self.output_shape)
         return y, y

@@ -50,6 +50,20 @@ def main() -> None:
     res = pipelined_rate(lambda x: fwd(variables, x), [(x,) for x in xs],
                          batch, min_iters=32)
 
+    # Peak device throughput at B=4096: the same program with dispatch
+    # overhead amortised over 4x the work per call (measured curve:
+    # ~400k at B=1024 -> 464k at B=2048 -> ~556k at B=4096). The B=1024
+    # number stays the published headline for cross-round continuity;
+    # the peak is reported alongside as device truth.
+    peak = None
+    try:
+        xb = [jnp.asarray(rng.randn(4096, num_points, 3).astype(np.float32))
+              for _ in range(2)]
+        peak = pipelined_rate(lambda x: fwd(variables, x),
+                              [(x,) for x in xb], 4096, min_iters=8)
+    except Exception:
+        pass
+
     extras = {}
     vs = float("nan")
     try:
@@ -70,6 +84,10 @@ def main() -> None:
         extras["vs_torch_cpu"] = round(res["rate"] / cpu, 1)
     except Exception:
         pass
+
+    if peak is not None:
+        extras["peak_clouds_per_sec_b4096"] = round(peak["rate"], 1)
+        extras["peak_spread"] = peak["spread"]
 
     print(json.dumps({
         "metric": "sampled clouds/sec/chip (1024->32, eval fwd + hard matching)",

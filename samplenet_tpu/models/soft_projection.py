@@ -95,12 +95,24 @@ class SoftProjection(nn.Module):
         With use_pallas=True the soft path runs the fused Pallas kernel
         (ops/pallas/soft_projection_kernel.py) — one VMEM pass, custom VJP —
         and weights/dist come back as None (they only exist as kernel
-        internals there)."""
+        internals there). The hard path likewise dispatches to the Pallas
+        1-NN snap kernel: argmax over the k-NN weights IS the global 1-NN
+        (the nearest point is in every k-neighbourhood), so the XLA route's
+        chunked k-NN — a scan of top_k sorts, ~18 ms of a 38 ms progressive
+        infer step at [B=32, 1024->1024] — reduces to one 0.6 ms kernel
+        that emits the snapped coordinates gather-free."""
         use_pallas = self.use_pallas
         if use_pallas is None:
             from samplenet_tpu.ops.dispatch import pallas_backend_ok
 
-            use_pallas = pallas_backend_ok() and self.group_size <= 16
+            use_pallas = pallas_backend_ok() and (hard or self.group_size <= 16)
+        if use_pallas and hard:
+            from samplenet_tpu.ops.pallas import nn_snap
+
+            _, _, snapped = nn_snap(
+                query_cloud, point_cloud,
+                tile_x=min(512, query_cloud.shape[1]))
+            return snapped, None, None
         if use_pallas and not hard:
             from samplenet_tpu.ops.pallas import soft_project
 

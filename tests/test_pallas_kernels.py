@@ -9,6 +9,7 @@ from samplenet_tpu.ops.chamfer import nn_distance
 from samplenet_tpu.ops.knn import group_point, knn_point
 from samplenet_tpu.ops.pallas import (
     fused_soft_projection,
+    nn_direction,
     nn_distance_pallas,
     soft_project,
 )
@@ -113,6 +114,40 @@ class TestChamferKernel:
         d1, i1, _, _ = nn_distance_pallas(x, x, interpret=True)
         np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(i1)[0], np.arange(128))
+
+    def test_snap_emits_exact_nn_coordinates(self):
+        # nn_snap = nn_direction + the NN's coordinates, emitted in-kernel;
+        # snapped points must be database rows BITWISE (hard-projection
+        # invariant: outputs are input points, never recomputed values).
+        from samplenet_tpu.ops.pallas import nn_snap
+        rng = np.random.RandomState(12)
+        x = jnp.asarray(rng.randn(3, 300, 3), jnp.float32)  # pad path: 300
+        y = jnp.asarray(rng.randn(3, 200, 3), jnp.float32)
+        d, i, snapped = nn_snap(x, y, interpret=True)
+        ed, ei = nn_direction(x, y, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ei))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(ed),
+                                   rtol=1e-5, atol=1e-6)
+        exp = np.take_along_axis(
+            np.asarray(y), np.asarray(i)[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(snapped), exp)
+
+    def test_snap_matches_hard_projection(self):
+        # argmax over k-NN softmax weights IS the global 1-NN: the Pallas
+        # hard-projection dispatch must reproduce the XLA knn+argmax path.
+        from samplenet_tpu.models.soft_projection import SoftProjection
+        from samplenet_tpu.ops.pallas import nn_snap
+        rng = np.random.RandomState(13)
+        pc = jnp.asarray(rng.randn(2, 256, 3), jnp.float32)
+        q = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        proj = SoftProjection(group_size=7, use_pallas=False)
+        vars_ = proj.init(jax.random.PRNGKey(0), pc, q)
+        hard_xla = proj.apply(
+            vars_, pc, q, method=lambda m, a, b: m.project(a, b, hard=True)[0]
+        )
+        _, _, hard_kernel = nn_snap(q, pc, tile_x=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hard_kernel),
+                                      np.asarray(hard_xla))
 
 
 class TestFPSKernel:

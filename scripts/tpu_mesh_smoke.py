@@ -38,6 +38,7 @@ def main() -> None:
         fps_from_given_pallas,
         fused_soft_projection,
         nn_direction,
+        nn_snap,
     )
 
     b = 64 * len(devs)
@@ -53,6 +54,11 @@ def main() -> None:
         want = (P("data"),) if len(devs) > 1 else (P("data"), P())
         assert d.sharding.spec in want, d.sharding
         print(f"nn_direction ok  mean={float(d.mean()):.5f}")
+        _, si, sp = jax.jit(lambda a, c: nn_snap(a, c, tile_x=32))(qs, xs)
+        gathered = np.take_along_axis(
+            np.asarray(x), np.asarray(si)[..., None], axis=1)
+        assert (np.asarray(sp) == gathered).all(), "nn_snap emit mismatch"
+        print(f"nn_snap ok  bitexact_points={sp.shape}")
         o, idx = jax.jit(lambda a, c: fused_soft_projection(
             a, c, jnp.float32(0.3)))(xs, qs)
         print(f"soft_projection ok  mean={float(o.mean()):.5f}")

@@ -120,6 +120,24 @@ class TestPallasUnderMesh:
         np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
 
+    def test_nn_snap_sharded(self):
+        from samplenet_tpu.ops.pallas import nn_snap
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(16, 64, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(16, 96, 3), jnp.float32)
+        ref_d, ref_i, ref_p = nn_snap(x, y, interpret=True)
+        mesh = self._mesh()
+        with mesh:
+            xs, ys = shard_batch(mesh, (x, y))
+            f = jax.jit(lambda a, b: nn_snap(a, b, interpret=True))
+            d, i, p = f(xs, ys)
+            hlo = f.lower(xs, ys).compile().as_text()
+        assert p.sharding.spec[0] == "data"
+        assert "all-gather" not in hlo
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_p))
+
     def test_fps_seeded_sharded(self):
         from samplenet_tpu.ops.pallas import fps_from_given_pallas
 

@@ -7,10 +7,14 @@ between syncs — device programs execute in enqueue order, so syncing the
 last output bounds the whole pipeline.
 
 `pipelined_rate` additionally makes the published numbers trustworthy: it
-repeats trials and DOUBLES the pipeline depth until the relative spread
-across trials is under `target_spread` (default 5%), so tunnel-scheduling
-jitter cannot leak into tables (round-1 lesson: 24-deep pipelines at B=32
-showed ±30% run-to-run noise).
+repeats trials and DOUBLES the pipeline depth until BOTH (a) the relative
+spread across trials is under `target_spread` (default 5%) — so
+tunnel-scheduling jitter cannot leak into tables (round-1 lesson: 24-deep
+pipelines at B=32 showed ±30% run-to-run noise) — and (b) the rate gain
+from the last doubling is under 3% — so per-dispatch overhead is
+amortised and the number no longer depends on the stopping depth
+(round-4 lesson: the B=1024 headline moved 403k -> 526k purely on which
+depth the spread rule happened to stop at).
 
 Tunnel noise is strictly ADDITIVE (a stall only ever lengthens a trial),
 so the lower quantiles estimate device time: statistics are computed over
@@ -68,7 +72,7 @@ def pipelined_rate(
         median = fast[len(fast) // 2]
         full_median = srt[len(srt) // 2]
         spread = (fast[-1] - fast[0]) / median
-        best = {
+        cur = {
             "rate": items_per_call / median,
             "spread": round(spread, 4),
             "iters": iters,
@@ -79,7 +83,17 @@ def pipelined_rate(
             "rate_all_trials": items_per_call / full_median,
             "method": f"fast{keep}of{trials}",
         }
-        if spread < target_spread:
+        # Two stopping conditions, BOTH required (round-4 lesson: at small
+        # per-call device times the rate keeps climbing with depth long
+        # after the spread settles — the published B=1024 headline moved
+        # 403k -> 526k purely on the harness's stopping depth):
+        #   (a) spread < target: trials agree (tunnel jitter amortised);
+        #   (b) rate within 3% of the previous depth: dispatch overhead
+        #       amortised — deeper pipelining would measure the same thing.
+        converged = best is not None and cur["rate"] < best["rate"] * 1.03
+        if best is None or cur["rate"] > best["rate"]:
+            best = cur
+        if spread < target_spread and converged:
             return best
         iters *= 2
     return best

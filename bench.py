@@ -5,8 +5,10 @@ Methodology (benchmarks/measure.py): the TPU sits behind a tunnel with
 ~33 ms host round-trip latency and `block_until_ready` does NOT synchronise
 through it — so the benchmark forces real syncs by pulling a scalar, keeps a
 deep dispatch pipeline between syncs, and adaptively doubles the pipeline
-depth until the run-to-run spread is <5% (published numbers must not carry
-tunnel-scheduling jitter).
+depth until the run-to-run spread is <5% AND the rate gain over the previous
+depth is <3%, publishing the converged-plateau round (published numbers must
+carry neither tunnel-scheduling jitter nor stopping-depth dependence; the
+full depth curve is included for auditing).
 
 `vs_baseline` = our clouds/sec over a GENEROUS estimate of the reference
 CUDA pipeline (benchmarks/cuda_baseline_estimate.py: V100 roofline for the
@@ -98,6 +100,8 @@ def main() -> None:
                     "(V100 roofline + measured host matching)",
         "measurement_spread": res["spread"],
         "pipeline_iters": res["iters"],
+        "converged": res.get("converged"),
+        "depth_curve": res.get("depth_curve"),
         **extras,
     }))
 

@@ -6,13 +6,18 @@ forward (config 3b) spend most of their device time in
 round-4 profile attributes ~18 ms/step to sort/while ops from the three
 [B, m] argsorts. Candidates raced here, all static-shape:
 
-  occ: sort      — shipped r2 path (argsort + adjacent-compare + inverse)
+  occ: sort      — the r2-shipped path, INLINED here as a local function
+                   (argsort + adjacent-compare + inverse scatter) since
+                   round 4 rewrote ops.matching to the chunked/one-hot
+                   formulations — importing from ops.matching would race
+                   the new code against itself
   occ: chunked   — dense equality compare, chunked over rows (VPU
-                   compare+any fused by XLA, no [B,m,m] buffer in HBM)
-  compact: sort  — shipped r2 path (stable argsort of pos)
+                   compare+any fused by XLA, no [B,m,m] buffer in HBM);
+                   shipped since r4 (ops.matching.first_occurrence_mask)
+  compact: sort  — r2-shipped path, inlined (stable argsort of pos)
   compact: onehot— one-hot matmul chunked over output slots (MXU; the
                    unchunked [B,m,k] one-hot would be 4 GB — chunks are
-                   [B,m,128] operand tiles)
+                   [B,m,128] operand tiles); shipped since r4
 
 Reference semantics: sputils._unique + nn_matching front-packing
 (registration/src/sputils.py). Prints one JSON line per variant.
@@ -35,6 +40,31 @@ from samplenet_tpu.ops.matching import (
 )
 
 
+def occ_sort(idx: jax.Array) -> jax.Array:
+    """The r2-shipped first-occurrence mask, inlined as the race baseline:
+    stable argsort groups equal values (first occurrence first), an
+    adjacent compare marks group heads, and the inverse permutation
+    scatters the mask back to input order. Three [B, m] sorts — each a
+    serialized while-loop on TPU."""
+    b, m = idx.shape
+    order = jnp.argsort(idx, axis=1, stable=True)
+    sv = jnp.take_along_axis(idx, order, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1)
+    inv = jnp.argsort(order, axis=1)
+    return jnp.take_along_axis(first, inv, axis=1)
+
+
+def compact_sort(idx: jax.Array, occ: jax.Array, k: int) -> jax.Array:
+    """The r2-shipped front-packing, inlined as the race baseline: stable
+    argsort of the running first-occurrence position (dropped entries
+    keyed past the end) pulls unique values to the front in order."""
+    m = idx.shape[1]
+    pos = jnp.where(occ, jnp.cumsum(occ, axis=1) - 1, m)
+    order = jnp.argsort(pos, axis=1, stable=True)
+    return jnp.take_along_axis(idx, order, axis=1)[:, :k]
+
+
 def occ_chunked(idx: jax.Array, chunk: int = 128) -> jax.Array:
     """occ via dense compare, chunked over the i axis: dup_before[b, i] =
     any_{j<i} idx[b, j] == idx[b, i]. XLA fuses compare+mask+any per chunk
@@ -43,9 +73,10 @@ def occ_chunked(idx: jax.Array, chunk: int = 128) -> jax.Array:
     outs = []
     jpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
     for i0 in range(0, m, chunk):
-        blk = jax.lax.dynamic_slice_in_dim(idx, i0, chunk, axis=1)
+        c = min(chunk, m - i0)  # clamp the tail block (matches ops.matching)
+        blk = jax.lax.dynamic_slice_in_dim(idx, i0, c, axis=1)
         eq = blk[:, :, None] == idx[:, None, :]          # [B, c, m]
-        ipos = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk, 1), 1)
+        ipos = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, c, 1), 1)
         outs.append(~jnp.any(eq & (jpos < ipos), axis=2))
     return jnp.concatenate(outs, axis=1)
 
@@ -107,13 +138,17 @@ def main() -> None:
 
     variants = {
         "occ_sort+compact_sort": jax.jit(
-            lambda i: _compact_indices(i, first_occurrence_mask(i), m)),
+            lambda i: compact_sort(i, occ_sort(i), m)),
         "occ_chunk+compact_sort": jax.jit(
-            lambda i: _compact_indices(i, occ_chunked(i), m)),
+            lambda i: compact_sort(i, occ_chunked(i), m)),
         "occ_chunk+compact_onehot": jax.jit(
             lambda i: compact_onehot(i, occ_chunked(i), m)),
         "occ_sort+compact_onehot": jax.jit(
-            lambda i: compact_onehot(i, first_occurrence_mask(i), m)),
+            lambda i: compact_onehot(i, occ_sort(i), m)),
+        # the shipped ops.matching path (r4: chunked compare + one-hot
+        # matmul) for cross-round continuity
+        "shipped_r4": jax.jit(
+            lambda i: _compact_indices(i, first_occurrence_mask(i), m)),
     }
 
     ref = np.asarray(variants["occ_sort+compact_sort"](idx))

@@ -11,10 +11,18 @@ repeats trials and DOUBLES the pipeline depth until BOTH (a) the relative
 spread across trials is under `target_spread` (default 5%) — so
 tunnel-scheduling jitter cannot leak into tables (round-1 lesson: 24-deep
 pipelines at B=32 showed ±30% run-to-run noise) — and (b) the rate gain
-from the last doubling is under 3% — so per-dispatch overhead is
+over the PREVIOUS depth is under 3% — so per-dispatch overhead is
 amortised and the number no longer depends on the stopping depth
 (round-4 lesson: the B=1024 headline moved 403k -> 526k purely on which
 depth the spread rule happened to stop at).
+
+The returned round is the CONVERGED-PLATEAU round itself — the first
+depth that both passes the spread gate and gains <3% over the previous
+depth — never the max over depths (round-5 fix: max-of-noisy-rounds is
+an upward-biased statistic, and it once published a round that failed
+the spread gate; the full depth curve is returned for auditing). If the
+curve never converges within `max_rounds`, the deepest round is returned
+with `converged: false` so callers can label it.
 
 Tunnel noise is strictly ADDITIVE (a stall only ever lengthens a trial),
 so the lower quantiles estimate device time: statistics are computed over
@@ -51,13 +59,16 @@ def pipelined_rate(
 ) -> dict:
     """Measure items/sec for `fn(*args)` with adaptive pipeline depth.
 
-    Returns {"rate": items/sec, "spread", "iters", "sec_per_call"} where
-    rate/spread come from the `keep` fastest of `trials` trials (additive
-    tunnel noise means the fast tail is the device-time estimate).
+    Returns {"rate": items/sec, "spread", "iters", "sec_per_call",
+    "converged", "depth_curve"} for the converged-plateau round (see module
+    docstring); rate/spread come from the `keep` fastest of `trials` trials
+    (additive tunnel noise means the fast tail is the device-time estimate).
     """
     _sync(fn(*args_list[0]))  # compile + real sync
     iters = min_iters
-    best = None
+    prev = None
+    cur = None
+    curve = []
     for _ in range(max_rounds):
         times = []
         for _t in range(trials):
@@ -83,17 +94,24 @@ def pipelined_rate(
             "rate_all_trials": items_per_call / full_median,
             "method": f"fast{keep}of{trials}",
         }
+        curve.append({"iters": iters, "rate": round(cur["rate"], 1),
+                      "spread": round(spread, 4)})
+        cur["depth_curve"] = curve
         # Two stopping conditions, BOTH required (round-4 lesson: at small
         # per-call device times the rate keeps climbing with depth long
         # after the spread settles — the published B=1024 headline moved
         # 403k -> 526k purely on the harness's stopping depth):
         #   (a) spread < target: trials agree (tunnel jitter amortised);
-        #   (b) rate within 3% of the previous depth: dispatch overhead
-        #       amortised — deeper pipelining would measure the same thing.
-        converged = best is not None and cur["rate"] < best["rate"] * 1.03
-        if best is None or cur["rate"] > best["rate"]:
-            best = cur
-        if spread < target_spread and converged:
-            return best
+        #   (b) rate within 3% of the PREVIOUS depth's rate: dispatch
+        #       overhead amortised — deeper pipelining would measure the
+        #       same thing. (Round-5 fix: comparing to a running max — and
+        #       returning it — published an upward-biased, possibly
+        #       spread-failing round; the converged round itself is the
+        #       defensible statistic.)
+        converged = prev is not None and cur["rate"] < prev["rate"] * 1.03
+        cur["converged"] = bool(spread < target_spread and converged)
+        if cur["converged"]:
+            return cur
+        prev = cur
         iters *= 2
-    return best
+    return cur

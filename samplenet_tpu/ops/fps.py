@@ -162,8 +162,10 @@ def farthest_point_sample_with_points(
             farthest_point_sample_pallas_with_points,
         )
 
-        return farthest_point_sample_pallas_with_points(
+        idx, xyz = farthest_point_sample_pallas_with_points(
             npoint, points, start_idx=start_idx)
+        # the kernel computes in f32; keep the output dtype backend-agnostic
+        return idx, xyz.astype(points.dtype)
     idx = farthest_point_sample(npoint, points, start_idx=start_idx,
                                 use_pallas=False)
     return idx, gather_point(points, idx)
@@ -193,9 +195,11 @@ def fps_from_given_with_points(
             fps_from_given_pallas_with_points,
         )
 
-        return fps_from_given_pallas_with_points(
+        idx, xyz = fps_from_given_pallas_with_points(
             npoint, points, jnp.asarray(given_idx, jnp.int32),
             jnp.asarray(given_count, jnp.int32))
+        # the kernel computes in f32; keep the output dtype backend-agnostic
+        return idx, xyz.astype(points.dtype)
     idx = fps_from_given(npoint, points, given_idx, given_count,
                          use_pallas=False)
     return idx, gather_point(points, idx)

@@ -86,11 +86,14 @@ def ae_chamfer_loss(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
 def ae_emd_loss(
     x_reconstr: jax.Array, gt: jax.Array, *, fast_math: bool = False
 ) -> jax.Array:
-    """mean approx-EMD (pointnet_ae.py:125-133). fast_math runs the match
-    levels in bf16 (2.15x at 2048^2 on TPU, <0.2% cost error; the cost and
-    its gradient stay f32 — see ops.matching.approx_match)."""
-    match = approx_match(x_reconstr, gt, fast_math=fast_math)
-    return jnp.mean(match_cost(x_reconstr, gt, match))
+    """mean approx-EMD (pointnet_ae.py:125-133). On TPU this runs the fused
+    Pallas kernel (match + cost + analytic grads in one pass, no [B, n, m]
+    buffer anywhere — ops/pallas/emd_kernel.py); fast_math only affects the
+    XLA fallback (bf16 match levels: 2.15x at 2048^2, <0.2% cost error —
+    the kernel has no HBM level traffic to halve)."""
+    from samplenet_tpu.ops.matching import approx_emd_cost
+
+    return jnp.mean(approx_emd_cost(x_reconstr, gt, fast_math=fast_math))
 
 
 def ae_soft_assignment_loss(

@@ -422,6 +422,20 @@ class TestMultiProcess:
         ]
         assert loss_lines[0] == loss_lines[1] == loss_lines[2] == loss_lines[3]
         assert len(loss_lines[0]) == 2
+        saved_pnorm = float(
+            [l for l in outs[0].splitlines()
+             if l.startswith("pnorm ")][0].split()[1])
+
+        # cross-PROCESS-COUNT restore (VERDICT r4 item 7): the checkpoint
+        # written by 4 processes x 2 devices is restored by 2 processes x 4
+        # devices — each restoring process reads shards written by others
+        r_outs = self._spawn(2, 4, ["restore", ckpt])
+        for o in r_outs:
+            assert "step 2" in o, o
+            got = float([l for l in o.splitlines()
+                         if l.startswith("pnorm ")][0].split()[1])
+            assert abs(got - saved_pnorm) < 1e-4 * max(1.0, saved_pnorm), (
+                got, saved_pnorm)
 
         # restore on a different mesh shape in this (1-process) runtime
         from samplenet_tpu.models.pointnet_cls import PointNetClassifier
@@ -465,6 +479,22 @@ class TestMultiProcess:
             state, metrics = step_fn(state, bx, by, jax.random.PRNGKey(3))
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 3
+
+    def test_uneven_host_data_counts(self):
+        """Hosts that loaded their own files hold DIFFERENT local lengths
+        (8, 9, 10, 11 rows at local_batch=2); global_batches(
+        process_local=True) must sync the per-epoch batch count to the
+        min across hosts — without the sync the shorter hosts stop first
+        and every other host's make_array_from_process_local_data hangs
+        (VERDICT r4 item 7)."""
+        outs = self._spawn(4, 2, ["uneven"])
+        for o in outs:
+            sums = [l for l in o.splitlines() if l.startswith("batch")]
+            assert len(sums) == 2, o  # min(2, 2, 3, 3) despite longer hosts
+        assert all(
+            [l for l in o.splitlines() if l.startswith("batch")]
+            == [l for l in outs[0].splitlines() if l.startswith("batch")]
+            for o in outs)
 
     def test_multiprocess_input_pipeline(self):
         """TRUE multi-process distributed run (2 processes x 2 CPU devices,

@@ -49,8 +49,12 @@ def main() -> None:
     variables = net.init(jax.random.PRNGKey(0), xs[0][:2], training=False)
 
     fwd = jax.jit(lambda v, x: net.apply(v, x, training=False)[1])
+    # max_rounds=7 lets the curve reach depth 2048: the r5 traced device
+    # bound is 1.464 ms/step (699k clouds/sec; benchmarks/profile_step.py
+    # --variant eval) and depth 1024 measures 684k with a 3.1% last gain —
+    # one more doubling converges the plateau against that bound.
     res = pipelined_rate(lambda x: fwd(variables, x), [(x,) for x in xs],
-                         batch, min_iters=32)
+                         batch, min_iters=32, max_rounds=7)
 
     # Peak device throughput at B=4096: the same program with dispatch
     # overhead amortised over 4x the work per call (measured curve:

@@ -56,7 +56,23 @@ def main() -> None:
     rng = np.random.RandomState(0)
     device = str(jax.devices()[0])
 
-    def report(config: str, metric: str, res: dict, unit: str, **extra):
+    def step_flops(jfn, *fargs):
+        """XLA cost-analysis FLOPs of one call (None if unavailable)."""
+        try:
+            return jfn.lower(*fargs).compile().cost_analysis()["flops"]
+        except Exception:
+            return None
+
+    def report(config: str, metric: str, res: dict, unit: str,
+               flops=None, **extra):
+        # MFU = cost-analysis FLOPs over the measured (pipelined) call
+        # time vs the v5e bf16 peak — at B>=1024 the pipelined call time
+        # is device time to within a few %; B=32 rows are dispatch-bound
+        # (device-trace ms reported separately in BENCHMARKS.md).
+        if flops is not None:
+            extra["step_gflops"] = round(flops / 1e9, 2)
+            extra["mfu_vs_bf16_peak"] = round(
+                flops / res["sec_per_call"] / V5E_PEAK_BF16, 4)
         print(json.dumps({"config": config, "metric": metric,
                           "value": round(res["rate"], 2), "unit": unit,
                           "spread": res["spread"], "iters": res["iters"],
@@ -71,7 +87,7 @@ def main() -> None:
     res = pipelined_rate(lambda x: fwd(v, x), [(x,) for x in xs], b,
                          min_iters=min_iters)
     report("1:samplenet_fwd_1024to64_b32", "eval fwd + matching", res,
-           "clouds/sec")
+           "clouds/sec", flops=step_flops(fwd, v, xs[0]))
 
     # ---- config 2: classification SampleNet train throughput at each m
     classifier = PointNetClassifier(num_classes=24)
@@ -91,20 +107,12 @@ def main() -> None:
                                         jax.random.PRNGKey(3))
             return metrics["loss"]
 
-        extra = {}
-        try:
-            cost = step.lower(holder["st"], xs[0], ys,
-                              jax.random.PRNGKey(3)).compile().cost_analysis()
-            extra["step_gflops"] = round(cost["flops"] / 1e9, 2)
-        except Exception:
-            cost = None
+        flops = step_flops(step, holder["st"], xs[0], ys,
+                           jax.random.PRNGKey(3))
         res = pipelined_rate(cls_call, [(x,) for x in xs], b,
                              min_iters=min_iters)
-        if cost is not None:
-            extra["mfu_vs_bf16_peak"] = round(
-                cost["flops"] / res["sec_per_call"] / V5E_PEAK_BF16, 4)
         report(f"2:cls_samplenet_train_m{m}", "train step", res,
-               "clouds/sec", **extra)
+               "clouds/sec", flops=flops)
 
     # ---- config 2b: the training-throughput headline shape (B=1024, m=32)
     if args.big:
@@ -124,20 +132,12 @@ def main() -> None:
                                            jax.random.PRNGKey(3))
             return metrics["loss"]
 
-        extra = {}
-        try:
-            cost = bstep.lower(bholder["st"], bxs[0], bys,
-                               jax.random.PRNGKey(3)).compile().cost_analysis()
-            extra["step_gflops"] = round(cost["flops"] / 1e9, 2)
-        except Exception:
-            cost = None
+        flops = step_flops(bstep, bholder["st"], bxs[0], bys,
+                           jax.random.PRNGKey(3))
         res = pipelined_rate(big_call, [(x,) for x in bxs], bb,
                              min_iters=max(min_iters // 3, 8))
-        if cost is not None:
-            extra["mfu_vs_bf16_peak"] = round(
-                cost["flops"] / res["sec_per_call"] / V5E_PEAK_BF16, 4)
         report("2b:cls_samplenet_train_m32_b1024", "train step", res,
-               "clouds/sec", **extra)
+               "clouds/sec", flops=flops)
 
         # ---- config 2c/2d/2e: the train-chain variants at the same shape —
         # ghost-BN (block stats, fastest), exact-BN (the r4 TPU default —
@@ -162,9 +162,12 @@ def main() -> None:
                                             jax.random.PRNGKey(3))
                 return metrics["loss"]
 
+            fflops = step_flops(fstep, fholder["st"], bxs[0], bys,
+                                jax.random.PRNGKey(3))
             res = pipelined_rate(fused_call, [(x,) for x in bxs], bb,
                                  min_iters=max(min_iters // 3, 8))
-            report(tag, "train step (fused)", res, "clouds/sec")
+            report(tag, "train step (fused)", res, "clouds/sec",
+                   flops=fflops)
 
     # ---- config 3: progressive ordered inference (1024 outputs, all ratios)
     prog = SampleNet(num_out_points=1024, bottleneck_size=128, group_size=7,
@@ -177,7 +180,7 @@ def main() -> None:
     res = pipelined_rate(lambda x: infer(pstate, x)[3], [(x,) for x in xs],
                          b, min_iters=max(min_iters // 3, 8))
     report("3:progressive_infer_1024", "ordered infer (4 outputs)", res,
-           "clouds/sec")
+           "clouds/sec", flops=step_flops(infer, pstate, xs[0]))
 
     if args.big:
         # progressive eval forward at the infer_samplenet_progressive shape
@@ -189,7 +192,8 @@ def main() -> None:
         res = pipelined_rate(lambda x: pf(pv, x), [(x,) for x in bx],
                              1024, min_iters=max(min_iters // 6, 4))
         report("3b:progressive_eval_fwd_b1024_m1024",
-               "eval fwd + matching (1024->1024)", res, "clouds/sec")
+               "eval fwd + matching (1024->1024)", res, "clouds/sec",
+               flops=step_flops(pf, pv, bx[0]))
 
     # ---- config 4: AE reconstruction train step (chamfer), 2048 pts, B=50
     acfg = AEConfig(num_points=2048, batch_size=50, n_sample_points=2048)
@@ -204,7 +208,8 @@ def main() -> None:
 
     res = pipelined_rate(ae_call, [(x,) for x in aes], 50,
                          min_iters=max(min_iters // 3, 4))
-    report("4:ae_train_2048_b50", "train step (chamfer)", res, "clouds/sec")
+    report("4:ae_train_2048_b50", "train step (chamfer)", res, "clouds/sec",
+           flops=step_flops(ae_step, ae_holder["st"], aes[0]))
 
     # ---- config 4b: AE train step with the approx-EMD loss at the
     # reference AE shape (pointnet_ae.py:125-133) — feasible on one chip
@@ -222,7 +227,7 @@ def main() -> None:
     res = pipelined_rate(emd_call, [(x,) for x in aes], 50,
                          min_iters=max(min_iters // 12, 2))
     report("4b:ae_train_emd_2048_b50", "train step (approx-EMD)", res,
-           "clouds/sec")
+           "clouds/sec", flops=step_flops(emd_step, emd_holder["st"], aes[0]))
 
     # ---- config 4b-fast: same step with bf16 match levels (--emd-fast;
     # ops.matching fast_math — <0.2% transport-cost error, measured r2)
@@ -239,7 +244,8 @@ def main() -> None:
     res = pipelined_rate(emdf_call, [(x,) for x in aes], 50,
                          min_iters=max(min_iters // 12, 2))
     report("4bf:ae_train_emd_fast_2048_b50", "train step (approx-EMD bf16)",
-           res, "clouds/sec")
+           res, "clouds/sec",
+           flops=step_flops(emdf_step, emdf_holder["st"], aes[0]))
 
     # ---- config 4c: AE train step with the soft-assignment loss
     # (beyond-reference; one [50, 2048, 2048] matmul + dual softmax)
@@ -256,7 +262,8 @@ def main() -> None:
     res = pipelined_rate(sa_call, [(x,) for x in aes], 50,
                          min_iters=max(min_iters // 6, 2))
     report("4c:ae_train_softassign_2048_b50", "train step (soft-assignment)",
-           res, "clouds/sec")
+           res, "clouds/sec",
+           flops=step_flops(sa_step, sa_holder["st"], aes[0]))
 
     # ---- config 5: registration eval (dual-cloud sampling + PCRNet + errors)
     rcfg = RegistrationConfig(num_points=1024, num_out_points=64,
@@ -272,7 +279,8 @@ def main() -> None:
         [(xs[i], xs[(i + 1) % 4]) for i in range(4)],
         b, min_iters=max(min_iters // 3, 4))
     report("5:registration_eval_dual64", "dual-sample + register + metrics",
-           res, "pairs/sec")
+           res, "pairs/sec",
+           flops=step_flops(eval_step, rv, xs[0], xs[1], twists))
 
 
 if __name__ == "__main__":

@@ -64,7 +64,7 @@ def aggregate_device_events(trace_dir: str, steps: int, top: int) -> dict:
         dur_ms = ev.get("dur", 0) / 1e3  # us -> ms
         if (ev["pid"], ev.get("tid")) in module_tids:
             module_ms += dur_ms
-        else:
+        elif not ev["name"].isdigit():  # skip step-marker overlay spans
             by_name[ev["name"]].append(dur_ms)
     rows = sorted(
         ({"name": k, "total_ms": round(sum(v), 3),

@@ -138,6 +138,32 @@ class TestPallasUnderMesh:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
         np.testing.assert_array_equal(np.asarray(p), np.asarray(ref_p))
 
+    def test_emd_cost_kernel_sharded(self):
+        """The fused approx-EMD kernel (r5) under a data mesh: batch-sharded
+        callers must run it collective-free with sharded outputs, like
+        every other partitioned kernel."""
+        from samplenet_tpu.ops.pallas.emd_kernel import emd_cost_pallas
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(16, 128, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(16, 96, 3), jnp.float32)
+        ref_c, ref_g1, ref_g2 = emd_cost_pallas(x, y, interpret=True)
+        mesh = self._mesh()
+        with mesh:
+            xs, ys = shard_batch(mesh, (x, y))
+            f = jax.jit(lambda a, b: emd_cost_pallas(a, b, interpret=True))
+            c, g1, g2 = f(xs, ys)
+            hlo = f.lower(xs, ys).compile().as_text()
+        assert c.sharding.spec == P("data")
+        assert g1.sharding.spec[0] == "data"
+        assert "all-gather" not in hlo
+        np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(ref_g1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(ref_g2),
+                                   atol=1e-6)
+
     def test_fps_seeded_sharded(self):
         from samplenet_tpu.ops.pallas import fps_from_given_pallas
 

@@ -84,16 +84,23 @@ def ae_chamfer_loss(x_reconstr: jax.Array, gt: jax.Array) -> jax.Array:
 
 
 def ae_emd_loss(
-    x_reconstr: jax.Array, gt: jax.Array, *, fast_math: bool = False
+    x_reconstr: jax.Array,
+    gt: jax.Array,
+    *,
+    fast_math: bool = False,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """mean approx-EMD (pointnet_ae.py:125-133). On TPU this runs the fused
     Pallas kernel (match + cost + analytic grads in one pass, no [B, n, m]
     buffer anywhere — ops/pallas/emd_kernel.py); fast_math only affects the
     XLA fallback (bf16 match levels: 2.15x at 2048^2, <0.2% cost error —
-    the kernel has no HBM level traffic to halve)."""
+    the kernel has no HBM level traffic to halve). use_pallas=False pins
+    the XLA scan (quality A/Bs and seed studies that must share one
+    program across backends)."""
     from samplenet_tpu.ops.matching import approx_emd_cost
 
-    return jnp.mean(approx_emd_cost(x_reconstr, gt, fast_math=fast_math))
+    return jnp.mean(approx_emd_cost(x_reconstr, gt, fast_math=fast_math,
+                                    use_pallas=use_pallas))
 
 
 def ae_soft_assignment_loss(

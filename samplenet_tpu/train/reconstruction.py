@@ -38,6 +38,8 @@ class AEConfig:
     bottleneck_size: int = 128
     loss: str = "chamfer"          # 'chamfer' | 'emd' | 'softassign'
     emd_fast: bool = False         # bf16 match levels (ops.matching fast_math)
+    emd_kernel: bool | None = None  # None = fused Pallas EMD auto on TPU;
+    #   False pins the XLA scan (kernel-vs-XLA quality A/Bs)
     batch_size: int = 50           # default_train_params (ae_templates.py:46-56)
     learning_rate: float = 5e-4
     use_fps: bool = False          # FPS front-end (pointnet_ae.py:46-56)
@@ -64,6 +66,7 @@ class SampleNetAEConfig:
     batch_size: int = 50
     learning_rate: float = 5e-4
     emd_fast: bool = False         # bf16 match levels when the AE loss is emd
+    emd_kernel: bool | None = None  # as AEConfig.emd_kernel
     # fused Pallas kernel for the train-mode simplification chain
     # (see nn/layers.py::PointMLP.fused_train / fused_mode / fused_bf16)
     fused_train: bool | None = None   # None = auto exact-fused on TPU
@@ -71,10 +74,12 @@ class SampleNetAEConfig:
     fused_bf16: bool | None = None     # None = mode default
 
 
-def _ae_loss_fn(loss_name: str, emd_fast: bool = False):
-    if loss_name == "emd" and emd_fast:
-        return functools.partial(ae_emd_loss, fast_math=True)
-    fns = {"chamfer": ae_chamfer_loss, "emd": ae_emd_loss,
+def _ae_loss_fn(loss_name: str, emd_fast: bool = False,
+                emd_kernel: bool | None = None):
+    if loss_name == "emd":
+        return functools.partial(ae_emd_loss, fast_math=emd_fast,
+                                 use_pallas=emd_kernel)
+    fns = {"chamfer": ae_chamfer_loss,
            "softassign": ae_soft_assignment_loss}
     return fns[loss_name]
 
@@ -97,7 +102,7 @@ def make_ae_train_step(model: PointNetAE, cfg: AEConfig):
     `step(state, x, gt)` trains noisy->clean (x = corrupted input, gt =
     clean target — the reference's split x/gt placeholders,
     autoencoder.py:121-129). The state buffers are donated."""
-    loss_fn_inner = _ae_loss_fn(cfg.loss, cfg.emd_fast)
+    loss_fn_inner = _ae_loss_fn(cfg.loss, cfg.emd_fast, cfg.emd_kernel)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, x, gt=None):
@@ -166,7 +171,7 @@ def make_sampler_ae_train_step(
     sampler: SampleNet, ae: PointNetAE, ae_vars: dict,
     cfg: SampleNetAEConfig, ae_loss: str = "chamfer",
 ):
-    loss_fn_inner = _ae_loss_fn(ae_loss, cfg.emd_fast)
+    loss_fn_inner = _ae_loss_fn(ae_loss, cfg.emd_fast, cfg.emd_kernel)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, x, gt=None):

@@ -48,8 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--emd-fast", action="store_true",
                    help="run the approx-EMD match levels in bf16 with f32 "
                         "reductions (ops.matching fast_math: 2.15x at "
-                        "2048^2, <0.2%% transport-cost error); applies "
-                        "wherever the emd loss is active in either phase")
+                        "2048^2, <0.2%% transport-cost error); XLA path "
+                        "only — the fused Pallas kernel has no HBM level "
+                        "traffic to halve")
+    p.add_argument("--no-emd-kernel", action="store_true",
+                   help="pin the XLA scan for the emd loss instead of the "
+                        "fused Pallas kernel (kernel-vs-XLA quality A/Bs)")
     p.add_argument("--bottleneck-size", type=int, default=128)
     p.add_argument("--num-out-points", type=int, default=64)
     p.add_argument("--group-size", type=int, default=16)
@@ -129,6 +133,7 @@ def main(argv=None):
     if args.phase == "ae":
         cfg = AEConfig(num_points=args.num_points, loss=args.loss,
                        emd_fast=args.emd_fast,
+                       emd_kernel=False if args.no_emd_kernel else None,
                        batch_size=args.batch_size,
                        bottleneck_size=args.bottleneck_size,
                        n_sample_points=args.num_points,
@@ -201,6 +206,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         is_denoising=corrupting,
         emd_fast=args.emd_fast,
+        emd_kernel=False if args.no_emd_kernel else None,
         fused_train=args.fused_train,
         fused_mode=args.fused_mode,
         fused_bf16=False if args.fused_f32 else None,

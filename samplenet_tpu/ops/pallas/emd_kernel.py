@@ -114,21 +114,31 @@ def _emd_kernel(
     cost = jnp.float32(0.0)
     g2 = [jnp.zeros((m_pad,), jnp.float32) for _ in range(3)]
 
-    for level in _LEVELS:                             # static unroll (11)
-        # Pass A: column sums of the row-normalised weights (needs all row
-        # tiles before the capacity ratio exists — the one cross-tile dep).
-        def pass_a(i, colsum, level=level, satr=satr):
-            _, w = level_weights(i, level, satr)
-            return colsum + jnp.sum(w, axis=0)
+    # Pass A of level 0 (the only standalone A pass: every later level's
+    # column sums are computed fused into the previous level's pass B,
+    # reusing that pass's distance tile — saves one full d2+exp recompute
+    # per level, ~15-20% of the kernel).
+    def pass_a0(i, colsum, level=_LEVELS[0], satr=satr):
+        _, w = level_weights(i, level, satr)
+        return colsum + jnp.sum(w, axis=0)
 
-        colsum = jax.lax.fori_loop(
-            0, n_tiles, pass_a, jnp.zeros((m_pad,), jnp.float32))
+    colsum = jax.lax.fori_loop(
+        0, n_tiles, pass_a0, jnp.zeros((m_pad,), jnp.float32))
+
+    for li, level in enumerate(_LEVELS):              # static unroll (11)
         ratio = jnp.minimum(satr / (1e-9 + colsum), 1.0)
+        # satr for level li+1 depends only on this level's colsum/ratio, so
+        # it is known BEFORE pass B — which is what lets B(l) also compute
+        # A(l+1): tile i's updated satl is produced in the same iteration.
+        satr_next = jnp.maximum(satr - colsum * ratio, 0.0)
+        next_level = _LEVELS[li + 1] if li + 1 < len(_LEVELS) else None
 
         # Pass B: apply the ratio, fold this level's mass into the cost
-        # (and gradients), and decrement the row saturations.
-        def pass_b(i, acc, level=level, satr=satr, ratio=ratio):
-            cost, g2x, g2y, g2z = acc
+        # (and gradients), decrement the row saturations, and accumulate
+        # the NEXT level's column sums from the same distance tile.
+        def pass_b(i, acc, level=level, satr=satr, ratio=ratio,
+                   satr_next=satr_next, next_level=next_level):
+            cost, g2x, g2y, g2z, colsum_next = acc
             d2, w = level_weights(i, level, satr)
             wr = w * ratio[None, :]                   # final level weights
             new0 = jnp.maximum(
@@ -155,11 +165,18 @@ def _emd_kernel(
                 g2c = [p2[c] * cu - jnp.sum(u * blk[c, :][:, None], axis=0)
                        for c in range(3)]
                 g2x, g2y, g2z = g2x + g2c[0], g2y + g2c[1], g2z + g2c[2]
-            return cost, g2x, g2y, g2z
+            if next_level is not None:                # fused A(l+1)
+                weight2 = jnp.exp(next_level * d2) * satr_next[None, :]
+                rowsum2 = 1e-9 + jnp.sum(weight2, axis=1)
+                w2 = weight2 * (new0 / rowsum2)[:, None]
+                colsum_next = colsum_next + jnp.sum(w2, axis=0)
+            return cost, g2x, g2y, g2z, colsum_next
 
-        cost, *g2 = jax.lax.fori_loop(
-            0, n_tiles, pass_b, (cost, g2[0], g2[1], g2[2]))
-        satr = jnp.maximum(satr - colsum * ratio, 0.0)
+        cost, g2x, g2y, g2z, colsum = jax.lax.fori_loop(
+            0, n_tiles, pass_b,
+            (cost, g2[0], g2[1], g2[2], jnp.zeros((m_pad,), jnp.float32)))
+        g2 = [g2x, g2y, g2z]
+        satr = satr_next
 
     cost_ref[0, 0, :] = jnp.broadcast_to(cost, (128,))
     for c in range(3):

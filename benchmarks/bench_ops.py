@@ -65,6 +65,7 @@ def main() -> None:
         "nn_match_from_clouds": jax.jit(
             lambda a, b: ops.nn_match_from_clouds(a, b, args.m)[0]),
         "approx_match": jax.jit(lambda a, b: ops.approx_match(a, b)),
+        "emd_cost_pallas": None,  # built below (module import)
         "soft_projection_xla": None,
         "soft_projection_pallas": jax.jit(
             lambda a, b: fused_soft_projection(a, b, sigma,
@@ -81,11 +82,15 @@ def main() -> None:
 
     cases["soft_projection_xla"] = jax.jit(xla_proj)
 
+    from samplenet_tpu.ops.pallas.emd_kernel import emd_cost_pallas
+    cases["emd_cost_pallas"] = jax.jit(
+        lambda a, b: emd_cost_pallas(a, b, with_grads=True)[0])
+
     shape_info = f"B={args.batch} N={args.n} M={args.m} k={args.k}"
     for name, fn in cases.items():
         if name in ("farthest_point_sample", "group_point"):
             ms = timeit(fn, x)
-        elif name == "approx_match":
+        elif name in ("approx_match", "emd_cost_pallas"):
             ms = timeit(fn, x[:, : min(args.n, 256)], y)
         else:
             ms = timeit(fn, x, y)

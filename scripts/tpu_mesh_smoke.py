@@ -68,6 +68,21 @@ def main() -> None:
             xs, given, cnt)
         print(f"seeded FPS ok  max_idx={int(jnp.max(fi))}")
 
+        # fused approx-EMD (r5): cost + analytic grads vs the XLA scan
+        from samplenet_tpu.ops.matching import approx_match, match_cost
+        from samplenet_tpu.ops.pallas.emd_kernel import emd_cost_pallas
+
+        y256 = jnp.asarray(rng.randn(b, 256, 3), jnp.float32)
+        x256 = jax.device_put(jnp.asarray(x[:, :256]), sh)
+        ys = jax.device_put(y256, sh)
+        ec, eg1, _ = jax.jit(emd_cost_pallas)(x256, ys)
+        ref = jax.jit(lambda a, c: match_cost(a, c, approx_match(a, c)))(
+            x256, ys)
+        rel = float(jnp.max(jnp.abs(ec - ref) / jnp.abs(ref)))
+        assert rel < 5e-4, rel
+        assert np.isfinite(np.asarray(eg1)).all()
+        print(f"emd_cost ok  rel_vs_xla={rel:.2e}")
+
         # flagship eval forward (fused point-MLP kernel + hard matching)
         sampler = SampleNet(num_out_points=32, bottleneck_size=128,
                             group_size=7, sigma_mode="tf")

@@ -1,11 +1,12 @@
 """Aggregate the multi-seed classification quality study into a table.
 
-Reads the evaluate_cli logs under <root>/seed<k>/eval/ (written by the
-round-4 queue stages 25-27: FPS baseline + SampleNet at m in {8, 32},
-3 fully independent seeds — fresh procedural split and fresh init per
-seed, same protocol as the registration study) and prints per-m
-mean ± std with the per-seed SampleNet-vs-FPS ordering, mirroring
-`registration_seeds.py`.
+Reads the evaluate_cli logs under <root>/seed<k>/eval/ (FPS baseline +
+SampleNet at m in {8, 16, 32, 64}; 3 fully independent seeds — fresh
+procedural split and fresh init per seed, seed-matched frozen
+classifier, same protocol as the registration study; completed round 5)
+and prints per-m mean ± std with the per-seed SampleNet-vs-FPS
+ordering, mirroring `registration_seeds.py`. Published in BENCHMARKS.md
+"Multi-seed classification study".
 
     python benchmarks/cls_seeds.py log/clsq_r4
 """

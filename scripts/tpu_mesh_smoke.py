@@ -79,7 +79,10 @@ def main() -> None:
         ref = jax.jit(lambda a, c: match_cost(a, c, approx_match(a, c)))(
             x256, ys)
         rel = float(jnp.max(jnp.abs(ec - ref) / jnp.abs(ref)))
-        assert rel < 5e-4, rel
+        # vs the XLA scan, not the f64 oracle: the XLA path's
+        # matmul-identity d2 carries its own steep-level error, so the
+        # two f32 programs agree to ~1e-3 (same bound as the test suite)
+        assert rel < 5e-3, rel
         assert np.isfinite(np.asarray(eg1)).all()
         print(f"emd_cost ok  rel_vs_xla={rel:.2e}")
 

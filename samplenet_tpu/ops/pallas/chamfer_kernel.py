@@ -37,9 +37,15 @@ def _nn_direction_kernel(
     chunk: int,
     emit_points: bool = False,
 ):
-    # several clouds per grid cell (static unroll): at small query counts
-    # (m=32 eval matching) a 1-cloud cell is dominated by per-cell overhead —
-    # 1024 cells cost ~330 us while the actual compare work is ~30 us
+    # several clouds per grid cell (static unroll). KEEP THE UNROLL: a
+    # batch-VECTORIZED body (carrying [BB, TX, CH] through the vector ops,
+    # argmin via masked-iota min since Mosaic lowers 3D argmin through an
+    # unsupported gather) was built and A/B-raced in round 5 — it LOST at
+    # the eval matching shape (old bb=1 366 us vs vectorized best 403 us
+    # at bb=8, B=1024 1024->32): 1-cloud grid cells already overlap across
+    # the grid, and the 3D layouts + iota-argmin cost more than the
+    # per-cell overhead they save. (nn_snap at B=32 1024->1024 gained 5%,
+    # ~0.4% of the progressive step — not worth forking the body.)
     for bi in range(xt_ref.shape[0]):
         for t in range(n_queries // tile_x):
             x = xt_ref[bi, :, t * tile_x : (t + 1) * tile_x]  # [3, TX]

@@ -132,6 +132,27 @@ class TestChamferKernel:
             np.asarray(y), np.asarray(i)[..., None], axis=1)
         np.testing.assert_array_equal(np.asarray(snapped), exp)
 
+    def test_block_b_is_pure_tiling(self):
+        """block_b only tiles the batch-vectorized kernel body: every valid
+        block size must give BITWISE the same dist/idx/snapped outputs (the
+        r5 vectorized body carries [BB, ...] through the vector ops rather
+        than Python-unrolling per-cloud, so this is the invariant that lets
+        the default block change without touching semantics)."""
+        from samplenet_tpu.ops.pallas import nn_snap
+        rng = np.random.RandomState(14)
+        x = jnp.asarray(rng.randn(8, 96, 3), jnp.float32)
+        y = jnp.asarray(rng.randn(8, 160, 3), jnp.float32)
+        base = nn_snap(x, y, block_b=1, interpret=True)
+        for bb in (2, 4, 8):
+            got = nn_snap(x, y, block_b=bb, interpret=True)
+            for g, b in zip(got, base):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+        d1, i1 = nn_direction(x, y, block_b=1, interpret=True)
+        for bb in (4, 8):
+            d, i = nn_direction(x, y, block_b=bb, interpret=True)
+            np.testing.assert_array_equal(np.asarray(d), np.asarray(d1))
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+
     def test_snap_matches_hard_projection(self):
         # argmax over k-NN softmax weights IS the global 1-NN: the Pallas
         # hard-projection dispatch must reproduce the XLA knn+argmax path.

@@ -65,10 +65,18 @@ def files_in_subdirs(top_dir: str, suffix: str = ".ply") -> list[str]:
 def load_point_clouds(
     file_names: list[str], num_points: int | None = None, threads: int = 8
 ) -> np.ndarray:
-    """Parallel PLY load -> [M, N, 3] (in_out.py load_point_clouds)."""
+    """Parallel PLY load -> [M, N, 3] (in_out.py load_point_clouds).
+
+    Prefers the native C++ parser (runtime/native/loader.cpp) when built —
+    ctypes releases the GIL during the call, so the thread pool parses
+    genuinely in parallel; falls back per-process to the pure-python
+    plyio reader."""
+    from samplenet_tpu.runtime import load_ply_native, native_available
+
+    native = native_available()
 
     def one(fn):
-        pts = load_ply(fn)[:, :3]
+        pts = load_ply_native(fn) if native else load_ply(fn)[:, :3]
         return pts[:num_points] if num_points else pts
 
     with ThreadPoolExecutor(max_workers=threads) as pool:

@@ -34,6 +34,18 @@ from samplenet_tpu.utils import Logger
 def parse_args(argv=None):
     p = argparse.ArgumentParser("train_reconstruction")
     p.add_argument("--phase", choices=["ae", "samplenet"], default="ae")
+    p.add_argument("--dataset", default="procedural",
+                   choices=["procedural", "shapenet"],
+                   help="shapenet: per-category ShapeNetCore PLYs under "
+                        "--data-dir (reconstruction/src/in_out.py flow; "
+                        "85/5/10 split, train on the train split, NRE on "
+                        "the test split); --train-size/--test-size are "
+                        "ignored")
+    p.add_argument("--data-dir", default="data",
+                   help="root containing shape_net_core_uniform_samples_"
+                        "2048/ (shapenet dataset only)")
+    p.add_argument("--category", default="chair",
+                   help="ShapeNet category or synset id (shapenet only)")
     p.add_argument("--num-points", type=int, default=2048)
     p.add_argument("--batch-size", type=int, default=50)
     p.add_argument("--epochs", type=int, default=20)
@@ -108,8 +120,18 @@ def main(argv=None):
     args = parse_args(argv)
     log_dir = args.log_dir or f"log/reconstruction_{args.phase}"
     logger = Logger(log_dir, args.phase)
-    train_data, _ = make_dataset(args.train_size, args.num_points, seed=args.seed)
-    test_data, _ = make_dataset(args.test_size, args.num_points, seed=args.seed + 1)
+    if args.dataset == "shapenet":
+        from samplenet_tpu.data.shapenet import load_category_split
+
+        train_data, _val, test_data = load_category_split(
+            args.data_dir, args.category, args.num_points, seed=args.seed)
+        logger.log(f"shapenet {args.category}: {len(train_data)} train / "
+                   f"{len(_val)} val / {len(test_data)} test clouds")
+    else:
+        train_data, _ = make_dataset(args.train_size, args.num_points,
+                                     seed=args.seed)
+        test_data, _ = make_dataset(args.test_size, args.num_points,
+                                    seed=args.seed + 1)
     rng = jax.random.PRNGKey(args.seed)
     np_rng = np.random.RandomState(0)
     dummy_labels = np.zeros(len(train_data), np.int32)

@@ -9,6 +9,7 @@ against the frozen PCRNet (registration/main.py pipeline).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,13 @@ def parse_args(argv=None):
     p.add_argument("--category", type=int, default=None,
                    help="restrict to one procedural class (the reference "
                         "trains registration on the ModelNet 'car' subset)")
+    p.add_argument("--h5-dir", default=None,
+                   help="directory holding <name>_train.h5/<name>_test.h5 "
+                        "single-class shards as written by scripts/"
+                        "make_car_dataset.py (registration/data/"
+                        "create_dataset_torch.py output) — overrides the "
+                        "procedural dataset; --train-size/--test-size/"
+                        "--category are ignored")
     p.add_argument("--fused-train", action="store_true", default=None,
                    help="force the --fused-mode fused train kernel for the "
                         "sampler's simplification chain (samplenet phase "
@@ -81,8 +89,24 @@ def parse_args(argv=None):
 def build_datasets(args):
     """Procedural clouds under fixed random rotations (the car-subset h5 of
     the reference, registration/data/create_dataset_torch.py, is download-
-    gated; any [M, N, 3] array feeds QuaternionFixedDataset)."""
-    if args.category is not None:
+    gated; any [M, N, 3] array feeds QuaternionFixedDataset). --h5-dir
+    instead loads a single-class h5 pair (make_car_dataset.py output)."""
+    if args.h5_dir is not None:
+        import glob as _glob
+
+        from samplenet_tpu.data.modelnet import load_h5
+
+        def one(split):
+            paths = sorted(_glob.glob(
+                os.path.join(args.h5_dir, f"*_{split}.h5")))
+            if not paths:
+                raise FileNotFoundError(
+                    f"no *_{split}.h5 under {args.h5_dir}")
+            data = np.concatenate([load_h5(p)[0] for p in paths])
+            return data[:, : args.num_points, :]
+
+        base_train, base_test = one("train"), one("test")
+    elif args.category is not None:
         # over-generate then filter to one shape class (car-subset analogue)
         d, l = make_dataset(args.train_size * 12, args.num_points,
                             seed=args.seed)

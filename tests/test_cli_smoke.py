@@ -174,6 +174,60 @@ def test_reconstruction_both_phases(tdir):
     assert "eval-only" in open(f"{tdir}/aesn_eval/log_samplenet.txt").read()
 
 
+def test_reconstruction_shapenet_dataset(tdir):
+    """--dataset shapenet: official-schema PLY tree (synset dir, binary
+    PLYs) through the 85/5/10 split, parallel parse (native C++ parser
+    when built), AE train, and the sampler NRE eval."""
+    import numpy as np
+    from samplenet_tpu.data.plyio import save_ply
+    from samplenet_tpu.train import train_reconstruction
+
+    synset_dir = os.path.join(
+        tdir, "shape_net_core_uniform_samples_2048", "03001627")
+    os.makedirs(synset_dir)
+    rng = np.random.RandomState(0)
+    for i in range(40):  # 85/5/10 -> 34 train / 2 val / 4 test
+        save_ply(os.path.join(synset_dir, f"{i:032x}.ply"),
+                 rng.randn(128, 3).astype(np.float32))
+    common = ["--dataset", "shapenet", "--data-dir", tdir,
+              "--category", "chair", "--num-points", "64",
+              "--batch-size", "4", "--epochs", "1",
+              "--steps-per-epoch", "1"]
+    train_reconstruction.main(
+        ["--phase", "ae", "--bottleneck-size", "32",
+         "--log-dir", f"{tdir}/ae"] + common)
+    assert "34 train / 2 val / 4 test" in open(f"{tdir}/ae/log_ae.txt").read()
+    train_reconstruction.main(
+        ["--phase", "samplenet", "--num-out-points", "8",
+         "--group-size", "4", "--ae-ckpt", f"{tdir}/ae/ckpt",
+         "--log-dir", f"{tdir}/aesn"] + common)
+    assert "NRE" in open(f"{tdir}/aesn/log_samplenet.txt").read()
+
+
+def test_registration_h5_dir(tdir):
+    """--h5-dir: the single-class h5 pair (make_car_dataset.py output
+    schema) drives both registration phases in place of procedural data."""
+    import numpy as np
+    from samplenet_tpu.data.modelnet import save_h5
+    from samplenet_tpu.train import train_registration
+
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 8), ("test", 4)):
+        save_h5(os.path.join(tdir, f"car_{split}.h5"),
+                rng.randn(n, 128, 3).astype(np.float32),
+                np.full(n, 7, np.uint8))
+    common = ["--h5-dir", tdir, "--num-points", "64", "--batch-size", "4",
+              "--epochs", "1", "--steps-per-epoch", "1"]
+    train_registration.main(
+        ["--phase", "pcrnet", "--num-out-points", "8",
+         "--log-dir", f"{tdir}/pcr"] + common)
+    train_registration.main(
+        ["--phase", "samplenet", "--num-out-points", "8",
+         "--group-size", "4", "--pcrnet-ckpt", f"{tdir}/pcr/ckpt",
+         "--log-dir", f"{tdir}/regsn"] + common)
+    assert os.path.isdir(f"{tdir}/regsn/ckpt")
+
+
 def test_progressive_cli(tdir):
     from samplenet_tpu.train import train_classifier, train_progressive
 

@@ -222,6 +222,26 @@ def make_sampler_ae_eval_step(sampler: SampleNet, ae: PointNetAE, ae_vars: dict)
     return step
 
 
+def make_fps_ae_eval_step(ae: PointNetAE, ae_vars: dict, num_out_points: int):
+    """FPS-baseline counterpart of make_sampler_ae_eval_step: reconstruct
+    from `num_out_points` FPS-sampled points vs the full input — the
+    paper's NRE baseline (reference sampler/evaluate_samplenet.py scores
+    SampleNet NRE against exactly this FPS reference)."""
+    from samplenet_tpu.ops.fps import farthest_point_sample_with_points
+
+    @jax.jit
+    def step(state, x, gt=None):
+        del state  # signature-compatible with evaluate_nre's eval_step
+        target = x if gt is None else gt
+        _, sampled = farthest_point_sample_with_points(num_out_points, x)
+        recon_sampled = ae.apply(ae_vars, sampled, training=False)
+        recon_full = ae.apply(ae_vars, x, training=False)
+        return (ae_per_cloud_chamfer(recon_sampled, target),
+                ae_per_cloud_chamfer(recon_full, target))
+
+    return step
+
+
 def evaluate_nre(
     eval_step, state, data: np.ndarray, batch_size: int, *, noise_fn=None
 ) -> dict:

@@ -83,6 +83,10 @@ def parse_args(argv=None):
                         "[-1,1] outliers on the model INPUT (clean target "
                         "stays the score) — heavy-corruption robustness "
                         "protocol")
+    p.add_argument("--fps-baseline", action="store_true",
+                   help="samplenet phase: also report the FPS-baseline NRE "
+                        "at --num-out-points through the frozen AE (the "
+                        "paper's comparison point for SampleNet NRE)")
     p.add_argument("--progressive", action="store_true",
                    help="nested-size sampler training: one checkpoint "
                         "serves every ratio (samplenet_progressive_"
@@ -259,6 +263,23 @@ def main(argv=None):
                               batch_stats=init["batch_stats"])
         logger.log(f"restored {args.init_ckpt}")
     eval_step = make_sampler_ae_eval_step(sampler, ae, ae_vars)
+
+    def report_fps_baseline():
+        if not args.fps_baseline:
+            return
+        from samplenet_tpu.train.reconstruction import make_fps_ae_eval_step
+
+        fps_step = make_fps_ae_eval_step(ae, ae_vars, args.num_out_points)
+        eval_rng = np.random.RandomState(123)
+        rep = evaluate_nre(
+            fps_step, state, test_data, args.batch_size,
+            noise_fn=make_corrupt(eval_rng) if corrupting else None)
+        logger.log(f"FPS baseline @{args.num_out_points}: "
+                   f"NRE={rep['nre']:.4f} "
+                   f"(cd={rep['loss_sampled_mean']:.5f} vs "
+                   f"full={rep['loss_full_mean']:.5f})")
+        logger.metrics(int(state.step), fps_nre=rep["nre"])
+
     if args.epochs == 0:  # standalone NRE eval of --init-ckpt
         eval_rng = np.random.RandomState(123)
         report = evaluate_nre(
@@ -266,6 +287,7 @@ def main(argv=None):
             noise_fn=make_corrupt(eval_rng) if corrupting else None)
         logger.log(f"eval-only: NRE={report['nre']:.4f}")
         logger.metrics(0, nre=report["nre"])
+        report_fps_baseline()
     for epoch in range(args.epochs):
         agg: dict[str, list] = {}
         for bi, (bx, _) in enumerate(iterate_batches(
@@ -288,6 +310,8 @@ def main(argv=None):
                    " ".join(f"{k}={v:.5f}" for k, v in mean.items()) +
                    f" | NRE={report['nre']:.4f}")
         logger.metrics(int(state.step), nre=report["nre"], **mean)
+    if args.epochs:
+        report_fps_baseline()
     if args.progressive:
         # prefix-NRE curve from the single ordered checkpoint — the
         # progressive track's quality evidence (reconstruction/sampler/

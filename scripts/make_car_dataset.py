@@ -10,8 +10,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from samplenet_tpu.data.modelnet import (
     MODELNET40_CLASSES,

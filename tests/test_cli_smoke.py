@@ -200,8 +200,9 @@ def test_reconstruction_shapenet_dataset(tdir):
     train_reconstruction.main(
         ["--phase", "samplenet", "--num-out-points", "8",
          "--group-size", "4", "--ae-ckpt", f"{tdir}/ae/ckpt",
-         "--log-dir", f"{tdir}/aesn"] + common)
-    assert "NRE" in open(f"{tdir}/aesn/log_samplenet.txt").read()
+         "--fps-baseline", "--log-dir", f"{tdir}/aesn"] + common)
+    log = open(f"{tdir}/aesn/log_samplenet.txt").read()
+    assert "NRE" in log and "FPS baseline @8" in log
 
 
 def test_registration_h5_dir(tdir):
